@@ -1,0 +1,127 @@
+"""The two-phase CDC pipeline: INIT_SYNC snapshot -> SYNC stream tail.
+
+Driver-side state machine replacing ``DynamoDBSourceTask.poll()`` dispatch
+(DynamoDBSourceTask.java:184-205) and its transitions:
+
+* fresh start (no state) -> RUNNING, run snapshot           (:163-167)
+* snapshot complete -> FINISHED, begin stream tail           (:246-249)
+* snapshot exceeding 19h -> restart snapshot                 (:213-217)
+* danger-zone event in stream -> back to RUNNING (re-snapshot) (:318-331)
+
+State is durable in the lake manifest (atomic with data) so kill-and-restart
+resumes to the identical final table; the stream side additionally resumes
+from the Structured Streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_connect_dynamodb_spark.functions.envelope import KEY_FIELDS
+from kafka_connect_dynamodb_spark.lake.table import LakeTable
+from kafka_connect_dynamodb_spark.operators.apply import DangerZoneError, apply_batch
+from kafka_connect_dynamodb_spark.operators.filters import INIT_SYNC_RESTART_HOURS
+from kafka_connect_dynamodb_spark.plans.state import InitSyncStatus, SourceInfo
+
+STATE_PROP = "source_info"
+
+
+class CdcPipeline:
+    def __init__(self, spark: SparkSession, table: LakeTable, *,
+                 table_name: str = "source_table", n_buckets: int = 64,
+                 clock: Callable[[], float] = time.time):
+        self.spark = spark
+        self.table = table
+        self.table_name = table_name
+        self.n_buckets = n_buckets
+        self.clock = clock
+
+    # ----------------------------------------------------------------- state
+
+    def load_state(self) -> SourceInfo:
+        """Resume from durable state (setStateFromOffset analog,
+        DynamoDBSourceTask.java:158-168)."""
+        if self.table.exists():
+            raw = self.table.manifest().properties.get(STATE_PROP)
+            if raw:
+                return SourceInfo.from_json(raw)
+        return SourceInfo(table_name=self.table_name)
+
+    def save_state(self, info: SourceInfo) -> None:
+        self.table.update_properties({STATE_PROP: info.to_json()})
+
+    # ------------------------------------------------------------- init sync
+
+    def init_sync(self, snapshot_df: DataFrame) -> SourceInfo:
+        """Phase 1: full snapshot -> (re)create the lake table.
+
+        The reference pages + rate-limits this scan by hand
+        (aws/DynamoDBTableScanner.java:44-71); Spark's partitioned parquet
+        read *is* the paged parallel scan, so the whole phase is one job.
+        """
+        now_ms = int(self.clock() * 1000)
+        info = SourceInfo(table_name=self.table_name)
+        info.start_init_sync(now_ms)
+
+        if self.table.exists():
+            # re-snapshot (danger-zone resync): rebuild into a fresh version
+            import shutil
+            shutil.rmtree(self.table.root, ignore_errors=True)
+
+        self.table.create(self.spark, snapshot_df, list(KEY_FIELDS),
+                          n_buckets=self.n_buckets, table=self.table_name)
+        count = self.table.read(self.spark).count()
+
+        elapsed_h = (self.clock() * 1000 - now_ms) / 3_600_000
+        if elapsed_h > INIT_SYNC_RESTART_HOURS:
+            # reference restarts a >19h snapshot (DynamoDBSourceTask.java:213-217)
+            return self.init_sync(snapshot_df)
+
+        info.end_init_sync(count, int(self.clock() * 1000))
+        self.save_state(info)
+        return info
+
+    # ------------------------------------------------------------------ sync
+
+    def sync_batch(self, events_df: DataFrame, batch_id: int, *,
+                   source: str = "stream", danger_check: bool = False) -> dict[str, Any]:
+        """Phase 2, one micro-batch. Raises DangerZoneError when a resync is
+        required; caller runs ``resync``.
+
+        ``danger_check`` compares event age against this pipeline's clock —
+        meaningful only for live tailing (the reference's 24h stream retention,
+        DynamoDBSourceTask.java:318-331); a historical-log replay disables it.
+        """
+        info = self.load_state()
+        if info.init_sync_state != InitSyncStatus.FINISHED:
+            raise RuntimeError("SYNC before INIT_SYNC finished "
+                               f"(state={info.init_sync_state})")
+        start = (datetime.fromtimestamp(info.init_sync_start / 1000, tz=timezone.utc)
+                 if info.init_sync_start else None)
+        now = (datetime.fromtimestamp(self.clock(), tz=timezone.utc)
+               if danger_check else None)
+        return apply_batch(self.spark, self.table, events_df,
+                           batch_id=batch_id, source=source,
+                           init_sync_start=start, now=now)
+
+    def resync(self, snapshot_df: DataFrame) -> SourceInfo:
+        """Danger-zone recovery: abandon stream state, re-run INIT_SYNC."""
+        return self.init_sync(snapshot_df)
+
+    def run(self, snapshot_df: DataFrame, events_df: DataFrame, *,
+            batch_id: int = 0) -> dict[str, Any]:
+        """One-shot batch replay: snapshot then a single apply of the whole
+        log — the minimum slice (SURVEY §7.1). Streaming path lives in
+        ``streaming.tail``."""
+        info = self.load_state()
+        if info.init_sync_state != InitSyncStatus.FINISHED:
+            self.init_sync(snapshot_df)
+        try:
+            return self.sync_batch(events_df, batch_id)
+        except DangerZoneError:
+            self.resync(snapshot_df)
+            return self.sync_batch(events_df, batch_id)

@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_connect_dynamodb_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cores=8, shuffle_partitions=8,
+                  extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"})
+    yield s

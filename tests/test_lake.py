@@ -1,0 +1,147 @@
+"""LakeTable: ACID manifest log, COW merge, tombstones, schema evolution,
+idempotent commits, compaction, time travel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.lake.table import CommitConflict, LakeTable, Manifest
+
+
+BASE = [("r1", "p1", "v1"), ("r1", "p2", "v2"), ("r2", "p1", "v3")]
+SCHEMA = "repo string, path string, content string"
+
+
+def _table(spark, tmp_path, n_buckets=4):
+    t = LakeTable(str(tmp_path / "tbl"))
+    t.create(spark, spark.createDataFrame(BASE, SCHEMA), ["repo", "path"],
+             n_buckets=n_buckets)
+    return t
+
+
+def _upd(spark, rows, schema="repo string, path string, content string,"
+                            " _op string, _seq long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_and_read(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got == {("r1", "p1"): "v1", ("r1", "p2"): "v2", ("r2", "p1"): "v3"}
+    assert t.current_version() == 1
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    upd = _upd(spark, [("r1", "p1", "v1b", "u", 10),
+                       ("r2", "p1", None, "d", 11),
+                       ("r3", "p9", "new", "c", 12)])
+    res = t.merge(spark, upd, batch_id=0)
+    assert not res["skipped"]
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got == {("r1", "p1"): "v1b", ("r1", "p2"): "v2", ("r3", "p9"): "new"}
+    # tombstone is retained with meta (for LWW guard), hidden from read
+    meta = t.read(spark, include_meta=True).count()
+    assert meta == 3
+
+
+def test_lww_guard_rejects_stale(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", "new", "u", 100)]), batch_id=0)
+    # older seq arrives later in a different batch -> must NOT win
+    t.merge(spark, _upd(spark, [("r1", "p1", "stale", "u", 50)]), batch_id=1)
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got[("r1", "p1")] == "new"
+
+
+def test_delete_then_late_update_stays_dead(spark, tmp_path):
+    # SURVEY §7.4.3: REMOVE@100 then MODIFY@50 in a later batch => stays deleted
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", None, "d", 100)]), batch_id=0)
+    t.merge(spark, _upd(spark, [("r1", "p1", "zombie", "u", 50)]), batch_id=1)
+    keys = {(r.repo, r.path) for r in t.read(spark).collect()}
+    assert ("r1", "p1") not in keys
+    # but a genuinely-newer insert resurrects it
+    t.merge(spark, _upd(spark, [("r1", "p1", "back", "c", 150)]), batch_id=2)
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got[("r1", "p1")] == "back"
+
+
+def test_idempotent_batch_commit(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    upd = _upd(spark, [("r1", "p1", "once", "u", 10)])
+    r1 = t.merge(spark, upd, batch_id=5, source="s1")
+    v = t.current_version()
+    r2 = t.merge(spark, upd, batch_id=5, source="s1")  # redelivery
+    assert not r1["skipped"] and r2["skipped"]
+    assert t.current_version() == v
+    r3 = t.merge(spark, upd, batch_id=4, source="s1")  # older batch
+    assert r3["skipped"]
+    # a different source has independent sequencing
+    r4 = t.merge(spark, upd, batch_id=5, source="s2")
+    assert not r4["skipped"]
+
+
+def test_bucket_pruning(spark, tmp_path):
+    t = _table(spark, tmp_path, n_buckets=16)
+    res = t.merge(spark, _upd(spark, [("r1", "p1", "x", "u", 10)]), batch_id=0)
+    assert res["buckets_touched"] == 1
+    m = t.manifest()
+    # untouched buckets' files must be carried over unchanged, not rewritten
+    assert res["buckets_touched"] < len({e["bucket"] for e in m.files})
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    upd = _upd(spark, [("r1", "p1", "v1b", "branch-x", "u", 10)],
+               "repo string, path string, content string, branch string,"
+               " _op string, _seq long")
+    t.merge(spark, upd, batch_id=0)
+    out = t.read(spark)
+    assert "branch" in out.columns
+    got = {(r.repo, r.path): (r.content, r.branch) for r in out.collect()}
+    assert got[("r1", "p1")] == ("v1b", "branch-x")
+    assert got[("r1", "p2")] == ("v2", None)  # old rows read with nulls
+
+
+def test_empty_batch(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    res = t.merge(spark, _upd(spark, []), batch_id=0)
+    assert res["rows_in"] == 0
+    assert t.last_committed("default") == 0  # still advances the batch marker
+
+
+def test_time_travel_and_props(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", "v2!", "u", 10)]), batch_id=0)
+    old = {(r.repo, r.path): r.content for r in t.read(spark, version=1).collect()}
+    assert old[("r1", "p1")] == "v1"
+    t.update_properties({"k": "val"})
+    assert t.manifest().properties["k"] == "val"
+
+
+def test_compact_purges_tombstones(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", None, "d", 10)]), batch_id=0)
+    assert t.read(spark, include_meta=True, include_deleted=True).filter("_deleted").count() == 1
+    t.compact(spark, drop_tombstones_below_seq=100)
+    assert t.read(spark, include_meta=True, include_deleted=True).filter("_deleted").count() == 0
+    got = {(r.repo, r.path) for r in t.read(spark).collect()}
+    assert got == {("r1", "p2"), ("r2", "p1")}
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", "x", "u", 10)]), batch_id=0)
+    removed = t.vacuum()
+    assert removed > 0  # the rewritten bucket's old file
+    # table still reads fine
+    assert t.read(spark).count() == 3
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    m = t.manifest()
+    dup = Manifest(version=m.version, table=m.table, key_cols=m.key_cols,
+                   n_buckets=m.n_buckets, schema_json=m.schema_json, files=m.files)
+    with pytest.raises(CommitConflict):
+        t._commit(dup)
