@@ -1,0 +1,108 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: cdc_replay_events_per_sec (the BASELINE.json headline metric) and
+replay row counts. Scaling-efficiency evidence (N vs 4N cores) lives in
+bench/scaling.py → BENCH/BASELINE.md (subprocess-isolated JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# CDC replay scale (flagship): ~1M events over ~100k keys at sf0.1
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
+REPLAY_KEYS = int(os.environ.get("BENCH_REPLAY_KEYS", "100000"))
+
+HEADLINE = [
+    "cdc_apply_final_state",
+    "cdc_lww_latest_per_key",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "topk_per_group",
+    "exact_dedup_docs",
+    "doc_quality_score",
+]
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from kafka_connect_dynamodb_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(2 * CPUS, 32))
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm file listing/footer cache
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- flagship: full two-phase CDC replay at generator scale ----
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    from kafka_connect_dynamodb_spark.plans.pipeline import CdcPipeline
+    from kafka_connect_dynamodb_spark.sources.generator import (
+        DEFAULT_BASE_TS, change_events, source_table)
+
+    work = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        log_dir = os.path.join(work, "log")
+        change_events(spark, REPLAY_KEYS, REPLAY_EVENTS,
+                      pre_init_frac=0.02).write.parquet(log_dir)
+        base = source_table(spark, REPLAY_KEYS)
+
+        table = LakeTable(os.path.join(work, "tbl"))
+        pipe = CdcPipeline(spark, table, n_buckets=64,
+                           clock=lambda: DEFAULT_BASE_TS.timestamp())
+        t0 = time.perf_counter()
+        pipe.init_sync(base)
+        t_snapshot = time.perf_counter() - t0
+
+        events = spark.read.parquet(log_dir)
+        t0 = time.perf_counter()
+        pipe.sync_batch(events, 0)
+        t_apply = time.perf_counter() - t0
+
+        timings["cdc_init_sync"] = round(t_snapshot, 3)
+        timings["cdc_replay"] = round(t_apply, 3)
+        final_rows = table.read(spark).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "cdc_replay_and_headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_replay_events": REPLAY_EVENTS,
+        "cdc_replay_events_per_sec": round(REPLAY_EVENTS / timings["cdc_replay"], 1),
+        "cdc_final_rows": final_rows,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -253,9 +253,12 @@ class LakeTable:
         evolved = T.StructType(list(old_schema.fields) + new_fields)
         evolved_names = [f.name for f in evolved.fields]
 
-        upd = upd.persist()
+        upd = upd.withColumn("_bucket", self._bucket_expr(keys, m.n_buckets)).persist()
         try:
-            n_upd = upd.count()
+            # one partial-agg job yields both the touched-bucket set (pruning)
+            # and the batch row count (metrics) — ≤ n_buckets rows collected
+            bucket_counts = upd.groupBy("_bucket").count().collect()
+            n_upd = sum(r["count"] for r in bucket_counts)
             if n_upd == 0:
                 new_m = self._advance(m, m.files, batch_id, source,
                                       {"op": "merge", "rows_in": 0})
@@ -263,8 +266,7 @@ class LakeTable:
                         "version": new_m.version}
 
             # --- bucket pruning: only buckets the batch touches are rewritten
-            upd = upd.withColumn("_bucket", self._bucket_expr(keys, m.n_buckets))
-            touched = sorted(r[0] for r in upd.select("_bucket").distinct().collect())
+            touched = sorted(r["_bucket"] for r in bucket_counts)
             touched_set = set(touched)
             tgt_entries = [e for e in m.files if e["bucket"] in touched_set]
             keep_entries = [e for e in m.files if e["bucket"] not in touched_set]

@@ -7,15 +7,20 @@ raw events
   -> F2 pre-init-sync drop (filters.pre_init_sync_filter)
   -> F3 danger-zone guard (batch-level min-ts aggregate)
   -> F6 op decode + F1 image projection (JVM CASE/coalesce)
-  -> envelope decode via one ``from_json`` into map<string, tagged-union>
-     (JVM JsonToStructs; additive schema evolution = new map keys)
+  -> parse only the small ``keys`` envelope per event (cheap from_json)
   -> F5 parse-error drop
-  -> per-key LWW dedup (max_by partial+final agg — shuffle carries one row
-     per key per mapper, not one per event)
+  -> per-key LWW dedup carrying the *raw* image string (max_by partial+final
+     agg — shuffle moves one row per key per mapper, not one per event)
+  -> decode the winners' image envelope (one from_json over |keys| rows,
+     NOT |events| — the expensive JSON parse runs post-reduction)
+  -> additive schema evolution: discover new attribute names from the
+     winners' map keys (tiny agg)
   -> LakeTable.merge (bucket-pruned COW, idempotent on batch_id)
 
 Every step is declarative; the whole batch plan is Catalyst-optimized and
-whole-stage-codegen'd. No Python executes per row.
+whole-stage-codegen'd. No Python executes per row. Ordering the heavy
+envelope parse after the LWW reduce is the single biggest scale lever: at
+10^10 events with ~10^8 live keys it removes ~99% of JSON work.
 """
 
 from __future__ import annotations
@@ -40,18 +45,17 @@ class DangerZoneError(RuntimeError):
     (DynamoDBSourceTask.java:318-331)."""
 
 
-def decode_events(df: DataFrame, *, extra_fields: list[str] | None = None,
+def decode_events(df: DataFrame, *, col: str = "new_image",
+                  extra_fields: list[str] | None = None,
                   discover_fields: bool = False) -> tuple[DataFrame, list[str]]:
-    """Raw (shard_id, seq_no, event_name, ts, keys, new_image) -> typed rows.
+    """Decode an AttributeValue-envelope JSON column into typed columns.
 
-    Parses the AttributeValue envelope once into a map column; known payload
-    fields project out of it JVM-side. With ``discover_fields`` the map keys
-    are aggregated to detect additive attributes (schema evolution) — one
-    cheap partial-agg job over the batch.
+    Parses the envelope once into a map column; payload fields project out of
+    it JVM-side. With ``discover_fields`` the map keys are aggregated to
+    detect additive attributes (schema evolution) — one partial-agg job over
+    ``df`` (callers pass post-dedup winners, so this is O(|keys|)).
     """
-    out = (df.withColumn("op", filters.decode_op(strict=False))
-             .withColumn("_img", filters.project_image())
-             .withColumn("_m", F.from_json(F.col("_img"), TAGGED_MAP)))
+    out = df.withColumn("_m", F.from_json(F.col(col), TAGGED_MAP))
 
     fields = list(PAYLOAD_FIELDS) + list(extra_fields or [])
     if discover_fields:
@@ -61,9 +65,12 @@ def decode_events(df: DataFrame, *, extra_fields: list[str] | None = None,
         fields += sorted(r["k"] for r in found if r["k"] not in known)
 
     for f in fields:
+        if f in df.columns:
+            continue  # already-materialized columns (e.g. keys) win: a
+                      # malformed image must not null-out a valid parsed key
         tag = F.element_at(F.col("_m"), f)
         out = out.withColumn(f, F.coalesce(tag["s"], tag["n"]))
-    return out.drop("_img", "_m"), fields
+    return out.drop(col, "_m"), fields
 
 
 def prepare_batch(df: DataFrame, *,
@@ -71,25 +78,37 @@ def prepare_batch(df: DataFrame, *,
                   now: datetime | None = None,
                   extra_fields: list[str] | None = None,
                   discover_fields: bool = False) -> DataFrame:
-    """Filters + decode + LWW dedup; returns one merge-ready row per key
-    (columns: repo, path, payload..., _op, _seq)."""
+    """Filters + key-parse + LWW dedup + winner decode; returns one
+    merge-ready row per key (columns: repo, path, payload..., _op, _seq).
+
+    The per-event work is minimal (op CASE + small keys-envelope parse); the
+    full image parse and schema discovery run on the post-dedup winners.
+    """
     if now is not None and filters.danger_zone_breached(df, now):
         raise DangerZoneError("batch contains events older than the 20h danger zone")
     if init_sync_start is not None:
         df = filters.pre_init_sync_filter(df, init_sync_start)
 
-    decoded, fields = decode_events(df, extra_fields=extra_fields,
-                                    discover_fields=discover_fields)
-    decoded = filters.drop_parse_errors(
-        decoded.filter(F.col("op").isNotNull()), list(KEY_FIELDS))
+    from kafka_connect_dynamodb_spark.functions.envelope import tagged_schema
+    ev = (df.withColumn("op", filters.decode_op(strict=False))
+            .withColumn("_img", filters.project_image())
+            .withColumn("_k", F.from_json(F.col("keys"), tagged_schema(KEY_FIELDS))))
+    for k in KEY_FIELDS:
+        ev = ev.withColumn(k, F.coalesce(F.col(f"_k.{k}.s"), F.col(f"_k.{k}.n")))
+    ev = filters.drop_parse_errors(ev.filter(F.col("op").isNotNull()),
+                                   list(KEY_FIELDS))
+    change = ev.select(*KEY_FIELDS,
+                       F.col("_img"),
+                       F.col("op").alias("_op"),
+                       F.col("seq_no").cast("decimal(38,0)").alias("_seq"))
+    winners = latest_per_key(change, list(KEY_FIELDS), ["_seq"])
 
+    # decode winners only: O(|keys|) JSON work
+    decoded, fields = decode_events(winners, col="_img",
+                                    extra_fields=extra_fields,
+                                    discover_fields=discover_fields)
     payload = [f for f in fields if f not in KEY_FIELDS]
-    change = decoded.select(
-        *KEY_FIELDS, *payload,
-        F.col("op").alias("_op"),
-        F.col("seq_no").cast("decimal(38,0)").alias("_seq"),
-    )
-    return latest_per_key(change, list(KEY_FIELDS), ["_seq"])
+    return decoded.select(*KEY_FIELDS, *payload, "_op", "_seq")
 
 
 def apply_batch(spark: SparkSession, table: LakeTable, df: DataFrame, *,

@@ -1,0 +1,182 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its dedup surface is only per-key sequence-number
+dedup, DynamoDBSourceTask.java:419-426); these extend the engine to corpus
+dedup at 100 TB scale. All JVM-side DataFrame compositions — shingling,
+MinHash, SimHash and banding are higher-order array expressions inside
+whole-stage codegen; the only shuffles are the band/bucket groupBys, which
+carry compact signatures instead of documents.
+
+Scale notes (100 TB):
+* MinHash-LSH: shuffle volume = docs x bands x 8 bytes, independent of doc
+  length. Frequency pruning (``max_bucket_size``) caps the quadratic in-bucket
+  pair expansion that hot buckets would otherwise cause (same skew class as
+  hot repos in the CDC path).
+* exact dedup: single hash-groupBy, map-side combined.
+* candidate verification joins re-read only candidate docs (semi-join pushdown
+  before the pair join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *, normalize: bool = True) -> DataFrame:
+    """Exact (optionally whitespace/case-normalized) dedup via hash-groupBy.
+
+    Returns one row per content group: canonical keep_id (min id), n_copies,
+    and the member ids. One shuffle on the 32-byte hash.
+    """
+    norm = F.col(text_col)
+    if normalize:
+        norm = F.regexp_replace(F.lower(F.trim(norm)), r"\s+", " ")
+    return (df.withColumn("_h", F.sha2(norm, 256))
+              .groupBy("_h")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count("*").alias("n_copies"),
+                   F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+              .withColumnRenamed("_h", "content_hash"))
+
+
+# ------------------------------------------------------------------ shingles
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams as an array column (JVM transform, no UDF)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k))))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined) as an array column."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+# ------------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min over shingle xxhash64 values.
+
+    Pure column expression — evaluated inside codegen per row; no shuffle,
+    no UDF. Cost is O(|shingles| * num_hashes) hash evaluations.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+        for seed in range(num_hashes)])
+
+
+def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           use_words: bool = False,
+                           max_bucket_size: int = 50) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    signature -> ``bands`` band-hashes -> explode -> groupBy band bucket ->
+    in-bucket pairing. ``max_bucket_size`` drops degenerate buckets (boiler-
+    plate shingles) to keep the pair expansion linear-ish — logged upstream.
+    Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(F.col(text_col), 3) if use_words else \
+        char_shingles(F.col(text_col), shingle_k)
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(sh, num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                                  for r in range(rows_per_band)]).alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select("id", "e.band", "e.bh")
+    buckets = (banded.groupBy("band", "bh")
+                     .agg(F.sort_array(F.collect_list("id")).alias("ids"),
+                          F.count("*").alias("n"))
+                     .filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)))
+    pairs = buckets.select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+    return pairs.select(F.col("p.a").alias("id_a"),
+                        F.col("p.b").alias("id_b")).distinct()
+
+
+def _pairs_expr(ids: Column) -> Column:
+    """All (a,b) a<b pairs from a sorted array — flatten of transforms."""
+    return F.flatten(F.transform(
+        ids, lambda a, i: F.transform(F.slice(ids, i + 2, F.size(ids)),
+                                      lambda b: F.struct(a.alias("a"), b.alias("b")))))
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", shingle_k: int = 5,
+                   use_words: bool = False, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage).
+
+    Semi-join prunes the doc table to candidates before shingling; the pair
+    join then moves only candidate shingle-arrays.
+    """
+    sh = word_shingles(F.col(text_col), 3) if use_words else \
+        char_shingles(F.col(text_col), shingle_k)
+    cand_ids = (pairs.select(F.col("id_a").alias("id"))
+                     .union(pairs.select("id_b")).distinct())
+    docs = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+              .join(cand_ids, "id", "left_semi"))
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (joined.withColumn("jaccard", inter.cast("double") / union)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
+# -------------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    Expressed as 64 aggregate bit-votes per document via explode + groupBy —
+    partial aggregation keeps the shuffle at one row per (doc, 64 longs).
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+              .withColumn("h", F.xxhash64("t")))
+    votes = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
+         .alias(f"b{b}") for b in range(63)])
+    sim = F.lit(0).cast("long")
+    for b in range(63):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit chunks
+    (pigeonhole: hamming<=3 => at least one identical chunk), bucket-join,
+    verify hamming distance exactly via bit_count(xor)."""
+    sig = simhash64(df, id_col=id_col, text_col=text_col)
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+            for c in range(4)])).alias("e")).select("id", "simhash", "e.chunk", "e.cv")
+    a = chunks.select(F.col("chunk"), F.col("cv"), F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = chunks.select(F.col("chunk"), F.col("cv"), F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    pairs = (a.join(b, ["chunk", "cv"]).filter(F.col("id_a") < F.col("id_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming").distinct())

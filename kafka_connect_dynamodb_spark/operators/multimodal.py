@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery (schemas, Arrow batch shapes, partition sizing,
+``mapInPandas`` UDF signatures) is real and tested; the codec step is stubbed
+because no image/audio libraries ship in this container — ``decoder=None``
+raises NotImplementedError at the exact seam a real decoder (PIL/ffmpeg)
+plugs into, and ``fake_decoder`` provides a deterministic stand-in so the
+distributed plumbing is testable end-to-end.
+
+Scale notes: media bytes dominate row size, so ops run through
+``mapInPandas`` (Arrow record batches, bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch) and never collect() — feature
+extraction reduces each blob to a small fixed-width vector as early as
+possible (project-then-shuffle, never shuffle raw bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("content", T.BinaryType(), True),      # opaque encoded bytes
+    T.StructField("meta", T.StructType([                 # typed metadata
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_DIM = 16
+
+
+def fake_decoder(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real codec: bytes -> FEATURE_DIM floats."""
+    h = hashlib.sha256(blob or b"").digest()
+    return (np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16)
+              .astype(np.float32) / 65535.0)
+
+
+def extract_features(df: DataFrame, *, decoder: Callable | None = None,
+                     content_col: str = "content") -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    ``decoder: bytes -> np.ndarray[FEATURE_DIM]``. None raises at task time —
+    the marked stub for the real codec dependency.
+    """
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("features", T.ArrayType(T.FloatType()), True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder is None:
+            raise NotImplementedError(
+                "media codec not available in this environment; pass "
+                "decoder= (e.g. PIL/ffmpeg-backed) or use fake_decoder")
+        for pdf in batches:
+            feats = [decoder(b).tolist() if b is not None else None
+                     for b in pdf[content_col]]
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, *,
+                  resizer: Callable | None = None) -> DataFrame:
+    """Resize plumbing: batch signature + metadata update are real; pixel
+    work happens in ``resizer(bytes, w, h) -> bytes`` (stubbed)."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer is None:
+            raise NotImplementedError("image resize requires a codec; stub")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [resizer(b, width, height) for b in pdf["content"]]
+            meta = pd.DataFrame(list(pdf["meta"]))
+            meta["width"], meta["height"] = width, height
+            pdf["meta"] = meta.to_dict("records")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int, *,
+                  sampler: Callable | None = None) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (explode-shaped
+    mapInPandas). ``sampler(bytes, every_ms) -> list[bytes]`` stubbed."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sampler is None:
+            raise NotImplementedError("video frame sampling requires ffmpeg; stub")
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i, fr in enumerate(sampler(r["content"], every_ms)):
+                    rows.append({"media_id": r["media_id"], "frame_idx": i,
+                                 "frame": fr})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthetic_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table (opaque bytes = hash chains)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("content"),
+        F.struct(
+            (F.pmod(F.col("id"), F.lit(640)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("id"), F.lit(480)) + 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec")).alias("meta"))
+    return df

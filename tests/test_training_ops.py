@@ -1,0 +1,162 @@
+"""Training-data pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),         # near dup of 0
+        (3, "completely different text about spark engines and data"),
+        (4, "der schnelle braune fuchs und der faule hund ist nicht da"),
+        (5, "le renard brun rapide est pour la vie et les amis"),
+        (6, "short"),
+        (7, "aaa bbb ccc ddd eee fff ggg hhh iii jjj " * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs).filter(F.col("n_copies") > 1).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 0 and out[0].member_ids == [0, 1]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got          # identical docs always collide
+    assert (0, 2) in got          # near dup: most shingles shared
+    assert (0, 3) not in got      # unrelated docs don't
+    verified = dedup.jaccard_verify(docs, pairs, threshold=0.5)
+    v = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert v[(0, 1)] == 1.0
+    assert 0.5 <= v[(0, 2)] < 1.0
+
+
+def test_ngram_jaccard_direct(spark, docs):
+    all_pairs = spark.createDataFrame([(0, 2), (0, 3)], "id_a long, id_b long")
+    out = dedup.jaccard_verify(docs, all_pairs, threshold=0.0)
+    v = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert v[(0, 2)] > 0.6 and v[(0, 3)] < 0.2
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = dedup.simhash64(docs)
+    assert sig.count() == 8
+    pairs = dedup.simhash_near_dups(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got          # identical -> hamming 0
+    assert (0, 3) not in got
+
+
+def test_brute_force_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]
+    assert out[0].cos_sim == pytest.approx(1.0)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    approx = [r.vec_id for r in similarity.ann_topk_lsh(df, q, k=5, planes=4,
+                                                        multiprobe=1).collect()]
+    # the query vector itself must be found; recall over top-5 is decent
+    assert exact[0] == 5 and approx[0] == 5
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b) for r in
+           similarity.embedding_near_dup_pairs(df, threshold=0.99, planes=4).collect()}
+    assert (0, 1) in out and len(out) == 1
+
+
+def test_knn_join(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_join_bruteforce(df, df, k=2)
+    top = {(r.qid, r.rk): r.nid for r in out.collect()}
+    assert top[(0, 1)] == 0 and top[(1, 1)] == 1
+
+
+def test_quality_features(spark, docs):
+    out = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[0].stopword_ratio == pytest.approx(2 / 9)  # 'the' twice
+    assert out[6].quality_score == 0.0                     # too short
+    assert out[0].quality_score > 0.3
+    assert out[7].unique_token_ratio == pytest.approx(1 / 3)
+
+
+def test_token_counts(spark, docs):
+    df = docs.select("doc_id", text.token_count(F.col("text")).alias("n"),
+                     text.bpe_ish_token_count(F.col("text")).alias("nb"))
+    out = {r.doc_id: (r.n, r.nb) for r in df.collect()}
+    assert out[0][0] == 9 and out[6][0] == 1
+    assert out[0][1] >= out[0][0]  # sub-word >= whitespace count
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    assert out[0] == "en" and out[4] == "de" and out[5] == "fr"
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame([(0, "这是 一个 中文 文档")], "doc_id long, text string")
+    assert text.lang_id(df).collect()[0].lang_pred == "zh"
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]          # identical docs -> identical fingerprint
+    assert fp[0] != fp[3]
+    # local edit (one word) keeps most of the k-min gram set -> often equal
+    # prefix; at minimum deterministic:
+    fp2 = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert fp == fp2
+
+
+def test_multimodal_features_with_fake_decoder(spark):
+    media = multimodal.synthetic_media(spark, 20)
+    out = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic across runs
+    again = multimodal.extract_features(media, decoder=multimodal.fake_decoder).collect()
+    assert [r.features for r in rows] == [r.features for r in again]
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    media = multimodal.synthetic_media(spark, 2)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, decoder=None).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_training_ops_plans_are_jvm_side(spark, docs):
+    """Dedup/text/similarity hot paths must stay in codegen (no Python eval)."""
+    for df in (dedup.minhash_lsh_candidates(docs),
+               dedup.simhash_near_dups(docs),
+               text.quality_features(docs),
+               text.lang_id(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
