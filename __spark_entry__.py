@@ -244,6 +244,281 @@ def q_doc_quality_score(spark, sf_dir):
         (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio")).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# Dedup / fingerprint / text-analysis operators (portable sha-based variants,
+# so the DuckDB oracle reproduces every hash bit-for-bit)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def q_minhash_lsh_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: word-3-shingles -> 16 sha-minhashes ->
+    4 bands -> bucket join. One shuffle on (band, band-hash)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import minhash_lsh_candidates_sha
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates_sha(docs).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification over prefix-bucketed candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.substring("text", 1, 16).alias("b"),
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tk"))
+    a = t.select(F.col("doc_id").alias("id_a"), "b", F.col("tk").alias("tka"))
+    bb = t.select(F.col("doc_id").alias("id_b"), "b", F.col("tk").alias("tkb"))
+    pairs = a.join(bb, "b").filter(F.col("id_a") < F.col("id_b"))
+    jac = (F.size(F.array_intersect("tka", "tkb")).cast("double")
+           / F.size(F.array_union("tka", "tkb")))
+    return (pairs.withColumn("jaccard", jac)
+                 .filter(F.col("jaccard") >= 0.5)
+                 .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
+
+
+def q_simhash_signatures(spark, sf_dir):
+    """Portable 64-bit SimHash signature per document (bitstring form)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import simhash_bits
+    docs = _t(spark, sf_dir, "documents")
+    return (simhash_bits(docs).select(F.col("id").alias("doc_id"), "simhash_bits")
+            .orderBy("doc_id"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dups: pigeonhole chunk banding + exact hamming verify."""
+    from kafka_connect_dynamodb_spark.operators.dedup import simhash_bits_near_dups
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_bits_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: 8 smallest word-5-gram sha256 hashes."""
+    from kafka_connect_dynamodb_spark.operators.text import fingerprint_sha
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_sha(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def q_lang_id_docs(spark, sf_dir):
+    """Marker-word-vote language ID (deterministic argmax, CJK fast path)."""
+    from kafka_connect_dynamodb_spark.operators.text import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return (lang_id(docs).select("doc_id", F.col("lang").alias("lang_true"),
+                                 "lang_pred").orderBy("doc_id"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish (pre-tokenizer regex) + whitespace token counts per doc."""
+    from kafka_connect_dynamodb_spark.operators.text import (
+        bpe_ish_token_count, token_count)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens")).orderBy("doc_id")
+
+
+def q_doc_quality_full(spark, sf_dir):
+    """Full quality-scoring feature set + composite score (Gopher/C4 family)."""
+    from kafka_connect_dynamodb_spark.operators.text import quality_features
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "n_chars", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "unique_token_ratio", "quality_score").orderBy("doc_id")
+
+
+def q_doc_content_sha(spark, sf_dir):
+    """The per-row parity invariant itself: sha256(content) per doc (X9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha")) \
+               .orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings (array<float>, dim 64)
+# --------------------------------------------------------------------------
+
+# fixed deterministic query vector, inlined identically into Spark lits and SQL
+Q_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_ANN_PLANES, _ANN_SEED, _TOPK = 6, 42, 20
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (TakeOrderedAndProject, no full sort)."""
+    from kafka_connect_dynamodb_spark.operators.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, Q_VEC, _TOPK)
+
+
+def q_embedding_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k: random-hyperplane LSH bucket probe (+hamming-1 multiprobe),
+    exact cosine within probed buckets — the 2^planes-pruned scale path."""
+    from kafka_connect_dynamodb_spark.operators.similarity import ann_topk_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, Q_VEC, _TOPK, planes=_ANN_PLANES, seed=_ANN_SEED,
+                        multiprobe=1)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline on a bounded
+    id range (the LSH-bucketed variant is operators.similarity.embedding_near_dup_pairs)."""
+    from kafka_connect_dynamodb_spark.operators.similarity import cosine
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+                 .filter(F.col("cos_sim") >= 0.36)
+                 .select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b"))
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join baseline (cross join + ranking window) on bounded sets."""
+    from kafka_connect_dynamodb_spark.operators.similarity import knn_join_bruteforce
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 30)
+    right = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 230))
+    return knn_join_bruteforce(left, right, 3).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# CDC extras: schema evolution, salted hot-key two-phase agg, multimodal
+# --------------------------------------------------------------------------
+
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Additive schema evolution (SURVEY §7 stage 7): merge a log slice that
+    lacks the ``props`` column via unionByName(allowMissingColumns) and show
+    the reconciled null accounting."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1).drop("props")
+    u = old.unionByName(new, allowMissingColumns=True)
+    return (u.groupBy("event_type")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+                   .alias("n_missing_props"))
+             .orderBy("event_type"))
+
+
+def q_cdc_salted_hot_key_agg(spark, sf_dir):
+    """Hot-key skew handling (SURVEY §7.4.5): salted two-phase reduction over
+    a deliberately skewed 8-value key; exact integer aggregates so the
+    two-phase result provably equals the direct groupBy."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(8)).alias("hot_key"), "event_id")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    phase1 = (salted.groupBy("hot_key", "_salt")
+                    .agg(F.count("*").alias("c"), F.max("event_id").alias("m")))
+    return (phase1.groupBy("hot_key")
+                  .agg(F.sum("c").alias("n_events"),
+                       F.max("m").alias("max_event_id"))
+                  .orderBy("hot_key"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check: non-SQL mapInPandas operator).
+    Opaque binary column + typed metadata -> Arrow-batched feature extraction
+    with the deterministic stand-in codec."""
+    from kafka_connect_dynamodb_spark.operators.multimodal import (
+        extract_features, fake_decoder)
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(F.lit(64).alias("width"), F.lit(64).alias("height"),
+                 F.lit(None).cast("int").alias("duration_ms"),
+                 F.lit("fake").alias("codec")).alias("meta"))
+    feats = extract_features(media, decoder=fake_decoder)
+    return feats.select(
+        "media_id", "kind",
+        F.size("features").alias("feature_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15")) \
+        .orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Generated oracle SQL (hash pipelines inlined so DuckDB reproduces bits)
+# --------------------------------------------------------------------------
+
+def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"list_aggregate(list_transform(sh, s -> sha256('{i}:' || s)), 'min') AS m{i}"
+        for i in range(num_hashes))
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, sha256(concat_ws('|', {ms})) AS bh FROM sig".format(
+            b=b, ms=", ".join(f"m{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            sh AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(tk)-2, 1)+1),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh FROM toks),
+            sig AS (SELECT doc_id, {mins} FROM sh),
+            bands AS ({band_rows}),
+            buckets AS (SELECT band, bh FROM bands GROUP BY band, bh
+                        HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+            bm AS (SELECT bands.band, bands.bh, bands.doc_id
+                   FROM bands JOIN buckets USING (band, bh))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bm a JOIN bm b USING (band, bh)
+            WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+
+
+_SIMHASH_CTE = f"""
+            toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+            h AS (SELECT doc_id, sha256(t) AS hx FROM toks),
+            votes AS (SELECT doc_id, b,
+                        sum(CASE WHEN substr(hx, b+1, 1) IN
+                            ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+                      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+                      GROUP BY doc_id, b),
+            sig AS (SELECT doc_id,
+                      string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+                        AS simhash_bits
+                    FROM votes GROUP BY doc_id)"""
+
+
+def _vec_sql(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> list_extract({a}, i) * list_extract({b}, i)), (x, y) -> x + y)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
+def _ann_oracle(k: int) -> str:
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        _query_signature, _unit_component)
+    qsig = _query_signature(Q_VEC, _ANN_PLANES, _ANN_SEED)
+    probe = sorted({qsig} | {qsig ^ (1 << p) for p in range(_ANN_PLANES)})
+    sig_terms = []
+    for p in range(_ANN_PLANES):
+        comps = _vec_sql([_unit_component(_ANN_SEED, p, d) for d in range(64)])
+        proj = _dot_sql("v", comps)
+        sig_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    sig = " + ".join(sig_terms)
+    q = _vec_sql(Q_VEC)
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v, {sig} AS sig FROM v)
+            SELECT vec_id, {_cos_sql('v', q)} AS cos_sim
+            FROM s WHERE sig IN ({", ".join(str(x) for x in probe)})
+            ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_op_decode": q_cdc_op_decode,
@@ -263,6 +538,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
+        "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_near_dups": q_simhash_near_dups,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id_docs": q_lang_id_docs,
+        "bpe_token_count": q_bpe_token_count,
+        "doc_quality_full": q_doc_quality_full,
+        "doc_content_sha": q_doc_content_sha,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_join": q_knn_join,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_salted_hot_key_agg": q_cdc_salted_hot_key_agg,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -367,6 +658,130 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
                        / len(toks) AS stopword_ratio
             FROM t ORDER BY doc_id""",
+        "minhash_lsh_near_dups": _minhash_oracle(),
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, substr(text, 1, 16) AS b,
+                              list_distinct({_TOKS_SQL}) AS tk FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+            FROM t a JOIN t b ON a.b = b.b AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+            ORDER BY id_a, id_b""",
+        "simhash_signatures": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash_bits FROM sig ORDER BY doc_id""",
+        "simhash_near_dups": f"""
+            WITH {_SIMHASH_CTE},
+            chunks AS (SELECT doc_id, simhash_bits, c,
+                              substr(simhash_bits, c*16 + 1, 16) AS cv
+                       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.simhash_bits AS sa, b.simhash_bits AS sb
+                     FROM chunks a JOIN chunks b USING (c, cv)
+                     WHERE a.doc_id < b.doc_id),
+            ham AS (SELECT id_a, id_b,
+                           len(list_filter(range(1, 65),
+                               i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+                    FROM cand)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+            ORDER BY id_a, id_b""",
+        "doc_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(range(1, greatest(len(tk)-4, 1)+1),
+                      i -> sha256(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
+                      AS grams FROM t)
+            SELECT doc_id,
+                   sha256(array_to_string(
+                       list_slice(list_sort(list_distinct(grams)), 1, 8), ','))
+                     AS fingerprint
+            FROM g ORDER BY doc_id""",
+        "lang_id_docs": f"""
+            WITH t AS (SELECT doc_id, lang, text,
+                              list_transform({_TOKS_SQL}, x -> lower(x)) AS tl
+                       FROM documents),
+            v AS (SELECT doc_id, lang,
+                    len(list_filter(tl, x -> x IN ('the','and','of','to','is','in','that','it'))) AS v_en,
+                    len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS v_de,
+                    len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','que','pour'))) AS v_fr,
+                    len(list_filter(tl, x -> x IN ('el','la','los','y','es','una','que','por'))) AS v_es,
+                    regexp_matches(text, '[一-鿿]') AS cjk
+                  FROM t)
+            SELECT doc_id, lang AS lang_true,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+                        WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+                        WHEN v_fr >= v_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM v ORDER BY doc_id""",
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^\\sA-Za-z0-9]'))
+                     AS n_bpe_tokens,
+                   len({_TOKS_SQL}) AS n_ws_tokens
+            FROM documents ORDER BY doc_id""",
+        "doc_quality_full": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            f AS (SELECT doc_id,
+                    len(toks) AS n_tokens,
+                    length(text) AS n_chars,
+                    CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(len(list_filter(toks, x -> lower(x) IN
+                        ('the','and','of','to','is','in','that','it'))) AS DOUBLE)
+                        / len(toks) AS stopword_ratio,
+                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_token_ratio
+                  FROM t)
+            SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio,
+                   punct_ratio, unique_token_ratio,
+                   (CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END)
+                   * least(unique_token_ratio * 2, 1.0)
+                   * (1.0 - least(punct_ratio * 3, 1.0))
+                   * least(stopword_ratio * 5 + 0.2, 1.0) AS quality_score
+            FROM f ORDER BY doc_id""",
+        "doc_content_sha": """
+            SELECT doc_id, sha256(text) AS content_sha
+            FROM documents ORDER BY doc_id""",
+        "embedding_cosine_topk": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
+            FROM v ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}""",
+        "embedding_ann_lsh_topk": _ann_oracle(_TOPK),
+        "embedding_near_dups": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         {_cos_sql('a.v', 'b.v')} AS cos_sim
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.36
+            ORDER BY id_a, id_b""",
+        "knn_join": f"""
+            WITH l AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 30),
+            r AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+                  FROM embeddings WHERE vec_id >= 30 AND vec_id < 230),
+            s AS (SELECT qid, nid, {_cos_sql('qv', 'nv')} AS cos_sim FROM l, r),
+            rk AS (SELECT qid, nid, cos_sim,
+                          row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rk FROM s)
+            SELECT qid, nid, rk, cos_sim FROM rk WHERE rk <= 3
+            ORDER BY qid, rk""",
+        "cdc_schema_evolution": """
+            WITH a AS (SELECT event_id, event_type, value, props FROM events
+                       WHERE event_id % 2 = 0),
+            b AS (SELECT event_id, event_type, value FROM events
+                  WHERE event_id % 2 = 1),
+            u AS (SELECT * FROM a UNION ALL BY NAME (SELECT * FROM b))
+            SELECT event_type, count(*) AS n_rows,
+                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_missing_props
+            FROM u GROUP BY event_type ORDER BY event_type""",
+        "cdc_salted_hot_key_agg": """
+            SELECT user_id % 8 AS hot_key, count(*) AS n_events,
+                   max(event_id) AS max_event_id
+            FROM events GROUP BY 1 ORDER BY hot_key""",
     }
 
 

@@ -139,6 +139,99 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
                   .select("id_a", "id_b", "jaccard"))
 
 
+# -------------------------------------------------- portable (sha256) variants
+#
+# xxhash64 is Spark-specific; these variants hash with sha256 hex strings so
+# any ANSI-SQL engine (the DuckDB correctness oracle) reproduces results
+# bit-for-bit. Lexicographic min over fixed-width lowercase hex digests equals
+# numeric min over the digest values, so MinHash semantics are unchanged.
+# Same plan shape as the xxhash64 versions: codegen'd per-row signature, one
+# shuffle on (band, band-hash).
+
+def minhash_signature_sha(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of ``num_hashes`` sha256-hex minima."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s: F.sha2(F.concat(F.lit(f"{seed}:"), s), 256)))
+        for seed in range(num_hashes)])
+
+
+def minhash_lsh_candidates_sha(df: DataFrame, *, id_col: str = "doc_id",
+                               text_col: str = "text", num_hashes: int = 16,
+                               bands: int = 4, word_k: int = 3,
+                               max_bucket_size: int = 50) -> DataFrame:
+    """Near-duplicate candidate pairs via sha-based MinHash + LSH banding
+    (word shingles). Engine-portable twin of :func:`minhash_lsh_candidates`."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(F.col(text_col), word_k)
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature_sha(sh, num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.sha2(F.concat_ws("|", *[
+                         F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)]), 256).alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select("id", "e.band", "e.bh")
+    buckets = (banded.groupBy("band", "bh")
+                     .agg(F.sort_array(F.collect_list("id")).alias("ids"),
+                          F.count("*").alias("n"))
+                     .filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)))
+    pairs = buckets.select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+    return pairs.select(F.col("p.a").alias("id_a"),
+                        F.col("p.b").alias("id_b")).distinct()
+
+
+_HI_NIBBLE = tuple("89abcdef")
+
+
+def simhash_bits(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", bits: int = 64) -> DataFrame:
+    """Portable SimHash: bit b of a token = high bit of hex nibble b of
+    sha256(token); per-doc majority vote over all tokens. The signature is a
+    ``bits``-char '0'/'1' string (no 64-bit integer ops, so the SQL oracle
+    reproduces it exactly). Same aggregate shape as :func:`simhash64`."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+              .withColumn("hx", F.sha2("t", 256)))
+    votes = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.substring("hx", b + 1, 1).isin(*_HI_NIBBLE), 1)
+               .otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)])
+    sig = F.concat(*[F.when(F.col(f"b{b}") > 0, "1").otherwise("0")
+                     for b in range(bits)])
+    return votes.select("id", sig.alias("simhash_bits"))
+
+
+def simhash_bits_near_dups(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           chunks: int = 4) -> DataFrame:
+    """Near-dup pairs on the portable bitstring signature: pigeonhole-band the
+    64 bits into ``chunks`` substrings (hamming<=chunks-1 => one identical
+    chunk), bucket-join, verify exact hamming distance."""
+    sig = simhash_bits(df, id_col=id_col, text_col=text_col)
+    width = 64 // chunks
+    chunked = sig.select(
+        "id", "simhash_bits",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.substring("simhash_bits", c * width + 1, width).alias("cv"))
+            for c in range(chunks)])).alias("e")
+    ).select("id", "simhash_bits", "e.chunk", "e.cv")
+    a = chunked.select("chunk", "cv", F.col("id").alias("id_a"),
+                       F.col("simhash_bits").alias("sa"))
+    b = chunked.select("chunk", "cv", F.col("id").alias("id_b"),
+                       F.col("simhash_bits").alias("sb"))
+    pairs = a.join(b, ["chunk", "cv"]).filter(F.col("id_a") < F.col("id_b"))
+    ham = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))")
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming").distinct())
+
+
 # -------------------------------------------------------------------- simhash
 
 def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

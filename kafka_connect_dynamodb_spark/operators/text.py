@@ -88,6 +88,21 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, best)
 
 
+def fingerprint_sha(df: DataFrame, text_col: str = "text",
+                    out_col: str = "fingerprint", k: int = 8,
+                    gram: int = 5) -> DataFrame:
+    """Engine-portable twin of :func:`fingerprint`: word-``gram``-gram hashes
+    via sha256 hex (lexicographic min-k == numeric min-k on fixed-width hex),
+    so the SQL oracle reproduces the fingerprint exactly."""
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - F.lit(gram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.sha2(F.concat_ws(" ", F.slice(toks, i + 1, gram)), 256))
+    smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
+    return df.withColumn(out_col, F.sha2(F.concat_ws(",", smallest), 256))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint", k: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the k smallest word-5-gram
