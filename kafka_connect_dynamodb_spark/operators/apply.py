@@ -73,16 +73,13 @@ def decode_events(df: DataFrame, *, col: str = "new_image",
     return out.drop(col, "_m"), fields
 
 
-def prepare_batch(df: DataFrame, *,
-                  init_sync_start: datetime | None = None,
-                  now: datetime | None = None,
-                  extra_fields: list[str] | None = None,
-                  discover_fields: bool = False) -> DataFrame:
-    """Filters + key-parse + LWW dedup + winner decode; returns one
-    merge-ready row per key (columns: repo, path, payload..., _op, _seq).
+def prepare_winners(df: DataFrame, *,
+                    init_sync_start: datetime | None = None,
+                    now: datetime | None = None) -> DataFrame:
+    """Filters + key-parse + LWW dedup: one row per key, image still raw.
 
-    The per-event work is minimal (op CASE + small keys-envelope parse); the
-    full image parse and schema discovery run on the post-dedup winners.
+    This is the only full-pass-over-events stage; callers persist its result
+    so schema discovery, bucket pruning and the MERGE all reuse one pass.
     """
     if now is not None and filters.danger_zone_breached(df, now):
         raise DangerZoneError("batch contains events older than the 20h danger zone")
@@ -101,14 +98,35 @@ def prepare_batch(df: DataFrame, *,
                        F.col("_img"),
                        F.col("op").alias("_op"),
                        F.col("seq_no").cast("decimal(38,0)").alias("_seq"))
-    winners = latest_per_key(change, list(KEY_FIELDS), ["_seq"])
+    return latest_per_key(change, list(KEY_FIELDS), ["_seq"])
 
-    # decode winners only: O(|keys|) JSON work
+
+def decode_winners(winners: DataFrame, *,
+                   extra_fields: list[str] | None = None,
+                   discover_fields: bool = False) -> DataFrame:
+    """Decode the post-dedup winners' image envelope: O(|keys|) JSON work,
+    not O(|events|) (SURVEY §3.3 hot-path note)."""
     decoded, fields = decode_events(winners, col="_img",
                                     extra_fields=extra_fields,
                                     discover_fields=discover_fields)
     payload = [f for f in fields if f not in KEY_FIELDS]
     return decoded.select(*KEY_FIELDS, *payload, "_op", "_seq")
+
+
+def prepare_batch(df: DataFrame, *,
+                  init_sync_start: datetime | None = None,
+                  now: datetime | None = None,
+                  extra_fields: list[str] | None = None,
+                  discover_fields: bool = False) -> DataFrame:
+    """Filters + key-parse + LWW dedup + winner decode; returns one
+    merge-ready row per key (columns: repo, path, payload..., _op, _seq).
+
+    The per-event work is minimal (op CASE + small keys-envelope parse); the
+    full image parse and schema discovery run on the post-dedup winners.
+    """
+    winners = prepare_winners(df, init_sync_start=init_sync_start, now=now)
+    return decode_winners(winners, extra_fields=extra_fields,
+                          discover_fields=discover_fields)
 
 
 def apply_batch(spark: SparkSession, table: LakeTable, df: DataFrame, *,
@@ -120,7 +138,15 @@ def apply_batch(spark: SparkSession, table: LakeTable, df: DataFrame, *,
 
     Safe to re-invoke with the same batch_id (foreachBatch redelivery):
     the merge no-ops once committed.
+
+    The LWW winners are persisted so the batch makes exactly ONE full pass
+    over the events: schema discovery, bucket pruning and the MERGE join all
+    read the ~|keys|-row cache, never the raw event stream again.
     """
-    deduped = prepare_batch(df, init_sync_start=init_sync_start, now=now,
-                            discover_fields=discover_fields)
-    return table.merge(spark, deduped, batch_id=batch_id, source=source)
+    winners = prepare_winners(df, init_sync_start=init_sync_start,
+                              now=now).persist()
+    try:
+        deduped = decode_winners(winners, discover_fields=discover_fields)
+        return table.merge(spark, deduped, batch_id=batch_id, source=source)
+    finally:
+        winners.unpersist()
