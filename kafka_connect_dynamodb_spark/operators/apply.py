@@ -80,6 +80,16 @@ def prepare_winners(df: DataFrame, *,
 
     This is the only full-pass-over-events stage; callers persist its result
     so schema discovery, bucket pruning and the MERGE all reuse one pass.
+
+    Plan shape (see PLANS.md): pre-agg filters use only CHEAP, parquet-pushable
+    predicates (event-name IN, keys IsNotNull). The exact parse-error drop (F5)
+    for unparseable keys runs POST-dedup on the ~|keys|-row winner set — if it
+    sat before the agg, Catalyst's predicate pushdown would substitute the
+    CodegenFallback ``from_json`` into the scan Filter and evaluate it ~5x per
+    event, interpreted (measured ~20% of batch wall time at 10M events). Null
+    keys group together during the reduce and are dropped afterwards, so the
+    final state is identical to the reference's per-record skip
+    (DynamoDBSourceTask.java:363-367).
     """
     if now is not None and filters.danger_zone_breached(df, now):
         raise DangerZoneError("batch contains events older than the 20h danger zone")
@@ -87,18 +97,26 @@ def prepare_winners(df: DataFrame, *,
         df = filters.pre_init_sync_filter(df, init_sync_start)
 
     from kafka_connect_dynamodb_spark.functions.envelope import tagged_schema
-    ev = (df.withColumn("op", filters.decode_op(strict=False))
-            .withColumn("_img", filters.project_image())
-            .withColumn("_k", F.from_json(F.col("keys"), tagged_schema(KEY_FIELDS))))
+    # F5/F6 cheap half: unknown event names & null keys envelopes drop here
+    # (pushable IN / IsNotNull filters reach the parquet scan).
+    ev = df.filter(F.col("event_name").isin("INSERT", "MODIFY", "REMOVE")
+                   & F.col("keys").isNotNull())
+    ev = ev.withColumn("_k", F.from_json(F.col("keys"), tagged_schema(KEY_FIELDS)))
+    change = ev.select(
+        *[F.coalesce(F.col(f"_k.{k}.s"), F.col(f"_k.{k}.n")).alias(k)
+          for k in KEY_FIELDS],
+        filters.project_image().alias("_img"),
+        filters.decode_op(strict=False).alias("_op"),
+        F.col("seq_no").cast("decimal(38,0)").alias("_seq"))
+    winners = latest_per_key(change, list(KEY_FIELDS), ["_seq"])
+    # F5 exact half, post-reduce: winners whose keys failed to parse. The
+    # inert `| _op.isNull()` disjunct references an aggregated column so the
+    # optimizer cannot push the predicate back below the agg into the scan.
+    key_ok = None
     for k in KEY_FIELDS:
-        ev = ev.withColumn(k, F.coalesce(F.col(f"_k.{k}.s"), F.col(f"_k.{k}.n")))
-    ev = filters.drop_parse_errors(ev.filter(F.col("op").isNotNull()),
-                                   list(KEY_FIELDS))
-    change = ev.select(*KEY_FIELDS,
-                       F.col("_img"),
-                       F.col("op").alias("_op"),
-                       F.col("seq_no").cast("decimal(38,0)").alias("_seq"))
-    return latest_per_key(change, list(KEY_FIELDS), ["_seq"])
+        p = F.col(k).isNotNull()
+        key_ok = p if key_ok is None else (key_ok & p)
+    return winners.filter(key_ok | F.col("_op").isNull())
 
 
 def decode_winners(winners: DataFrame, *,

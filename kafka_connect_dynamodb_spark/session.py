@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir. On a cluster this is the node's NVMe scratch set by
+    the cluster manager; in the local[*] sandbox, /dev/shm (RAM-backed) stands
+    in so shuffle I/O doesn't serialize on the single virtual disk. Override
+    with $SPARK_GRAFT_LOCAL_DIR."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "kafka-connect-dynamodb-spark",
     cores: int | None = None,
@@ -44,6 +59,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
