@@ -33,6 +33,9 @@ HEADLINE = [
     "topk_per_group",
     "exact_dedup_docs",
     "doc_quality_score",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
 ]
 
 

@@ -1,19 +1,23 @@
-"""Scaling-efficiency evidence: the identical CDC replay at local[N] and
-local[4N] on the same input (BASELINE.json north_rule: efficiency >= 0.8 from
-N to 4N executors; sandbox has no cluster, so parallelism levels stand in for
-cluster sizes — each run is a separate JVM via subprocess).
+"""Scaling-efficiency evidence: the identical CDC replay on N and 4N
+EXECUTORS (BASELINE.json north_rule: efficiency >= 0.8 from N to 4N).
 
-Methodology notes (the sandbox is a shared-host microVM, so wall times jitter
-by 2-3x between runs):
+No multi-node cluster exists in this sandbox, so the run uses Spark's
+standalone ``local-cluster[n, cores, mem]`` mode: every executor is a separate
+JVM with its own heap, GC and shuffle dirs — the faithful stand-in for
+scaling executor count on a real cluster (the same axis the north rule
+names), unlike a single fat local[n] JVM whose threads share one heap.
 
-* every JVM does a full untimed warm pass first (page cache + JIT + codegen);
-* each parallelism level runs ``trials`` timed applies, ALTERNATING between
-  levels across separate JVMs, and the MINIMUM per level is used — min is the
-  noise-robust estimator of the machine's true capability;
-* N=4 vs 4N=16 by default: a single shared-memory JVM saturates the box's
-  memory bandwidth well below 32 threads, which a real 4N-executor cluster
-  would not (each executor brings its own memory channels and disks), so the
-  two levels are placed inside the regime the box can actually scale.
+Methodology (the sandbox is a shared-host microVM with 2-3x wall jitter):
+
+* every run does a full untimed warm pass (page cache + JIT + codegen);
+* ``trials`` timed applies per level, ALTERNATING levels across separate
+  driver JVMs; the MINIMUM per level is the noise-robust capability estimate;
+* executor shape is fixed (2 cores / 6 GiB) and only the COUNT scales:
+  N=2 executors vs 4N=8 executors by default;
+* shuffle partitions scale with total cores (2x), as they would via
+  spark-submit --conf on a real cluster;
+* executor shuffle dirs are tmpfs (SPARK_LOCAL_DIRS), standing in for
+  per-node NVMe.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 
@@ -29,6 +33,8 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXEC_CORES = 2
+EXEC_MEM_MB = 6144
 
 RUN_TEMPLATE = r"""
 import json, os, sys, time
@@ -38,22 +44,30 @@ from kafka_connect_dynamodb_spark.lake.table import LakeTable
 from kafka_connect_dynamodb_spark.plans.pipeline import CdcPipeline
 from kafka_connect_dynamodb_spark.sources.generator import DEFAULT_BASE_TS
 
-cores = {cores}
-spark = get_spark("scaling-%d" % cores, cores=cores,
-                  shuffle_partitions=max(2 * cores, 16))
+n_exec = {n_exec}
+total_cores = n_exec * {exec_cores}
+mode = {mode!r}
+if mode == "local-cluster":
+    spark = get_spark("scaling-%dx" % n_exec,
+                      master="local-cluster[%d,{exec_cores},{exec_mem}]" % n_exec,
+                      shuffle_partitions=2 * total_cores,
+                      extra_conf={{"spark.executor.memory": "{exec_mem}m"}})
+else:
+    spark = get_spark("scaling-%dx" % n_exec, cores=total_cores,
+                      shuffle_partitions=2 * total_cores)
 events = spark.read.parquet({log_dir!r})
 base = spark.read.parquet({base_dir!r})
 
 # full untimed warm pass: page cache, JIT, codegen on the real pipeline
 events.write.format("noop").mode("overwrite").save()
 base.write.format("noop").mode("overwrite").save()
-warm_tbl = LakeTable(os.path.join({work!r}, "warm-%d-{tag}" % cores))
+warm_tbl = LakeTable(os.path.join({work!r}, "warm-%d-{tag}" % n_exec))
 warm = CdcPipeline(spark, warm_tbl, n_buckets=64,
                    clock=lambda: DEFAULT_BASE_TS.timestamp())
 warm.init_sync(base.limit(100000))
 warm.sync_batch(events.limit(500000), 0)
 
-table = LakeTable(os.path.join({work!r}, "tbl-%d-{tag}" % cores))
+table = LakeTable(os.path.join({work!r}, "tbl-%d-{tag}" % n_exec))
 pipe = CdcPipeline(spark, table, n_buckets=64,
                    clock=lambda: DEFAULT_BASE_TS.timestamp())
 t0 = time.perf_counter()
@@ -63,29 +77,35 @@ t0 = time.perf_counter()
 pipe.sync_batch(events, 0)
 t_apply = time.perf_counter() - t0
 rows = table.read(spark).count()
-print("RESULT " + json.dumps({{"cores": cores, "t_snapshot": t_snap,
+print("RESULT " + json.dumps({{"n_exec": n_exec, "t_snapshot": t_snap,
       "t_apply": t_apply, "rows": rows}}))
 """
 
 
-def run_at(cores: int, tag: str, log_dir: str, base_dir: str, work: str) -> dict:
-    code = RUN_TEMPLATE.format(repo=REPO, cores=cores, tag=tag, log_dir=log_dir,
-                               base_dir=base_dir, work=work)
-    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
+def run_at(n_exec: int, tag: str, log_dir: str, base_dir: str, work: str,
+           mode: str = "local") -> dict:
+    code = RUN_TEMPLATE.format(repo=REPO, n_exec=n_exec, exec_cores=EXEC_CORES,
+                               exec_mem=EXEC_MEM_MB, tag=tag, log_dir=log_dir,
+                               base_dir=base_dir, work=work, mode=mode)
+    env = dict(os.environ,
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "8g"),
+               SPARK_LOCAL_DIRS="/dev/shm/spark-local",
+               SPARK_LOCAL_IP="127.0.0.1")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600, env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
-    raise RuntimeError(f"run at {cores} cores failed:\n{out.stderr[-3000:]}")
+    raise RuntimeError(f"run at {n_exec} executors failed:\n{out.stderr[-3000:]}")
 
 
 def main() -> None:
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     keys = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_low
     trials = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    mode = sys.argv[6] if len(sys.argv) > 6 else "local"
 
     work = tempfile.mkdtemp(prefix="scaling-")
     log_dir = os.path.join(work, "log")
@@ -106,13 +126,13 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
 
     lo_runs, hi_runs = [], []
     for t in range(trials):          # alternate levels to decorrelate host noise
-        lo_runs.append(run_at(n_low, f"t{t}", log_dir, base_dir, work))
-        hi_runs.append(run_at(n_high, f"t{t}", log_dir, base_dir, work))
+        lo_runs.append(run_at(n_low, f"t{t}", log_dir, base_dir, work, mode))
+        hi_runs.append(run_at(n_high, f"t{t}", log_dir, base_dir, work, mode))
         print(json.dumps({"trial": t, "low": lo_runs[-1], "high": hi_runs[-1]}),
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
 
     assert len({r["rows"] for r in lo_runs + hi_runs}) == 1, \
-        "row-count mismatch across parallelism!"
+        "row-count mismatch across executor counts!"
     t_lo = min(r["t_apply"] for r in lo_runs)
     t_hi = min(r["t_apply"] for r in hi_runs)
     tp_lo, tp_hi = events / t_lo, events / t_hi
@@ -120,7 +140,10 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
 
     summary = {
         "events": events, "keys": keys,
-        "cores_low": n_low, "cores_high": n_high, "trials": trials,
+        "executors_low": n_low, "executors_high": n_high,
+        "executor_shape": f"{EXEC_CORES} cores / {EXEC_MEM_MB}m",
+        "mode": mode,
+        "trials": trials,
         "t_apply_low": round(t_lo, 2),
         "t_apply_high": round(t_hi, 2),
         "t_apply_low_all": [round(r["t_apply"], 2) for r in lo_runs],
@@ -137,12 +160,14 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
         fh.write(f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
-executors. No real cluster exists in this sandbox, so the identical job runs
-at two parallelism levels (separate JVMs, same deterministic input). The
-sandbox is a shared-host microVM with 2-3x wall-time jitter, so each level
+executors. No multi-node cluster exists in this sandbox, so the identical job
+runs under Spark standalone ``local-cluster`` mode — every executor a separate
+JVM ({EXEC_CORES} cores / {EXEC_MEM_MB}m each, own heap/GC/shuffle dirs on
+tmpfs) — and only the executor COUNT scales, exactly the axis the rule names.
+The sandbox is a shared-host microVM with 2-3x wall-time jitter, so each level
 runs {trials} alternating trials and the minimum (noise-floor) time is used.
 
-| run | cores | apply wall (s), min of {trials} | all trials (s) | events/s |
+| run | executors | apply wall (s), min of {trials} | all trials (s) | events/s |
 |---|---|---|---|---|
 | N  | {n_low} | {summary['t_apply_low']} | {summary['t_apply_low_all']} | {summary['events_per_sec_low']:,} |
 | 4N | {n_high} | {summary['t_apply_high']} | {summary['t_apply_high_all']} | {summary['events_per_sec_high']:,} |
@@ -151,13 +176,10 @@ runs {trials} alternating trials and the minimum (noise-floor) time is used.
   one LWW MERGE apply of {events:,} change events (5% duplicates, deletes,
   pre-init-sync drops) into the bucketed lake table.
 * **scaling efficiency = (T_N / T_4N) / 4 = {summary['scaling_efficiency']}**
-* N={n_low} vs 4N={n_high}: a single shared-memory JVM saturates the box's
-  memory bandwidth well below 32 threads (measured: 32-thread runs are not
-  faster than 16), which a real 4N-executor cluster would not — each executor
-  brings its own memory channels, shuffle disks and page cache. The levels are
-  therefore placed inside the regime the sandbox can physically scale;
-  shuffle/spill dirs are tmpfs-backed, standing in for per-node NVMe.
-* final row counts identical across parallelism levels (deterministic
+* caveat the evidence honestly: all executor JVMs still share one physical
+  box's memory bandwidth; on a real cluster each executor adds its own memory
+  channels and disks, so this number is a LOWER bound on true N->4N scaling.
+* final row counts identical across executor counts (deterministic
   partition-independent generator + order-insensitive LWW reduce).
 * reference baseline: ~2,000 events/s per table, by design 1 task per table
   (README.md:39-41); every run above clears it by two orders of magnitude.

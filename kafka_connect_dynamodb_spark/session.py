@@ -34,11 +34,14 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
-    cluster these confs travel unchanged through spark-submit --conf.
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. ``master``
+    overrides the sandbox's local[N] default (e.g. ``local-cluster[4,2,6144]``
+    for multi-executor-JVM runs). On a real cluster these confs travel
+    unchanged through spark-submit --conf.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -46,8 +49,16 @@ def get_spark(
         # ~2x cores keeps every core busy through stragglers without tiny tasks.
         shuffle_partitions = max(2 * cores, 8)
 
+    builder = SparkSession.builder
+    # Respect an externally-provided master (spark-submit --master / cluster
+    # manager env); local[N] is only the sandbox default.
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if master:
+        builder = builder.master(master)
+    elif "--master" not in submit_args and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
