@@ -677,9 +677,12 @@ def oracle_sql() -> dict[str, str]:
             chunks AS (SELECT doc_id, simhash_bits, c,
                               substr(simhash_bits, c*16 + 1, 16) AS cv
                        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+            bsz AS (SELECT c, cv, count(*) AS n FROM chunks GROUP BY c, cv),
+            elig AS (SELECT chunks.* FROM chunks JOIN bsz USING (c, cv)
+                     WHERE bsz.n > 1 AND bsz.n <= 500),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                             a.simhash_bits AS sa, b.simhash_bits AS sb
-                     FROM chunks a JOIN chunks b USING (c, cv)
+                     FROM elig a JOIN elig b USING (c, cv)
                      WHERE a.doc_id < b.doc_id),
             ham AS (SELECT id_a, id_b,
                            len(list_filter(range(1, 65),

@@ -161,11 +161,21 @@ def minhash_lsh_candidates_sha(df: DataFrame, *, id_col: str = "doc_id",
                                bands: int = 4, word_k: int = 3,
                                max_bucket_size: int = 50) -> DataFrame:
     """Near-duplicate candidate pairs via sha-based MinHash + LSH banding
-    (word shingles). Engine-portable twin of :func:`minhash_lsh_candidates`."""
+    (word shingles). Engine-portable twin of :func:`minhash_lsh_candidates`.
+
+    Plan note: shingles are exploded ONCE and all ``num_hashes`` digests are
+    computed per (doc, shingle) row, then min-aggregated — the array-expression
+    formulation (:func:`minhash_signature_sha`) rebuilds the shingle array per
+    hash function, which measured ~16x slower at 5k docs."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(F.col(text_col), word_k)
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature_sha(sh, num_hashes).alias("sig"))
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.explode(word_shingles(F.col(text_col), word_k)).alias("s"))
+    hashed = ex.select("id", *[
+        F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256).alias(f"h{i}")
+        for i in range(num_hashes)])
+    sig = (hashed.groupBy("id")
+                 .agg(F.array(*[F.min(f"h{i}") for i in range(num_hashes)])
+                       .alias("sig")))
     banded = sig.select(
         "id",
         F.explode(F.array(*[
@@ -207,26 +217,43 @@ def simhash_bits(df: DataFrame, *, id_col: str = "doc_id",
 
 def simhash_bits_near_dups(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3,
-                           chunks: int = 4) -> DataFrame:
+                           chunks: int = 4,
+                           max_bucket_size: int = 500) -> DataFrame:
     """Near-dup pairs on the portable bitstring signature: pigeonhole-band the
     64 bits into ``chunks`` substrings (hamming<=chunks-1 => one identical
-    chunk), bucket-join, verify exact hamming distance."""
+    chunk), bucket, pair in-bucket, verify exact hamming distance.
+
+    Plan note: the signature rides inside the bucket's collect_list structs,
+    so the (expensive, 64-aggregate) signature job runs ONCE — a naive
+    self-join recomputes it per side. ``max_bucket_size`` caps the quadratic
+    in-bucket pair expansion from exact-duplicate clusters (the same
+    freq-pruning knob as MinHash banding; such clusters are
+    :func:`exact_duplicates`' job, not SimHash's)."""
     sig = simhash_bits(df, id_col=id_col, text_col=text_col)
     width = 64 // chunks
-    chunked = sig.select(
+    # chunk values as ints (computed once per doc): the pair-verify becomes
+    # xor + bit_count instead of 64 per-pair substring compares.
+    ints = sig.select(
         "id", "simhash_bits",
+        *[F.conv(F.substring("simhash_bits", c * width + 1, width), 2, 10)
+           .cast("long").alias(f"i{c}") for c in range(chunks)])
+    chunked = ints.select(
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
                      F.substring("simhash_bits", c * width + 1, width).alias("cv"))
-            for c in range(chunks)])).alias("e")
-    ).select("id", "simhash_bits", "e.chunk", "e.cv")
-    a = chunked.select("chunk", "cv", F.col("id").alias("id_a"),
-                       F.col("simhash_bits").alias("sa"))
-    b = chunked.select("chunk", "cv", F.col("id").alias("id_b"),
-                       F.col("simhash_bits").alias("sb"))
-    pairs = a.join(b, ["chunk", "cv"]).filter(F.col("id_a") < F.col("id_b"))
-    ham = F.expr(
-        "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))")
+            for c in range(chunks)])).alias("e"),
+        F.struct("id", *[f"i{c}" for c in range(chunks)]).alias("rec")
+    ).select("e.chunk", "e.cv", "rec")
+    buckets = (chunked.groupBy("chunk", "cv")
+                      .agg(F.sort_array(F.collect_list("rec")).alias("recs"),
+                           F.count("*").alias("n"))
+                      .filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)))
+    pairs = buckets.select(F.explode(_pairs_expr(F.col("recs"))).alias("p")) \
+                   .select(F.col("p.a.id").alias("id_a"),
+                           F.col("p.b.id").alias("id_b"),
+                           *[F.col(f"p.a.i{c}").bitwiseXOR(F.col(f"p.b.i{c}"))
+                              .alias(f"x{c}") for c in range(chunks)])
+    ham = sum(F.bit_count(F.col(f"x{c}")) for c in range(chunks))
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming").distinct())
