@@ -382,9 +382,34 @@ def q_knn_join(spark, sf_dir):
     return knn_join_bruteforce(left, right, 3).orderBy("qid", "rk")
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize into 8 cells, probe the 2 nearest, exact
+    cosine within probed cells (the partition-pruned scale path)."""
+    from kafka_connect_dynamodb_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, Q_VEC, _TOPK, n_cells=8, nprobe=2, seed=7)
+
+
 # --------------------------------------------------------------------------
 # CDC extras: schema evolution, salted hot-key two-phase agg, multimodal
 # --------------------------------------------------------------------------
+
+def q_cdc_envelope_roundtrip(spark, sf_dir):
+    """X1 envelope codec round-trip as a contract: typed columns -> DynamoDB
+    AttributeValue JSON -> decode -> sha256 equals the source row's sha
+    (the per-row parity invariant through the codec)."""
+    from kafka_connect_dynamodb_spark.functions.envelope import (
+        decode_payload, encode_attr_json)
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.select(
+        "doc_id",
+        encode_attr_json(["doc_id", "lang", "text"]).alias("new_image"))
+    dec = decode_payload(enc, "new_image", fields=("doc_id", "lang", "text"),
+                         prefix="rt_")
+    return dec.select(
+        "doc_id",
+        F.col("rt_lang").alias("lang"),
+        F.sha2(F.col("rt_text"), 256).alias("roundtrip_sha")).orderBy("doc_id")
 
 def q_cdc_schema_evolution(spark, sf_dir):
     """Additive schema evolution (SURVEY §7 stage 7): merge a log slice that
@@ -519,6 +544,29 @@ def _ann_oracle(k: int) -> str:
             ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
 
 
+def _ivf_oracle(k: int, n_cells: int = 8, nprobe: int = 2, seed: int = 7) -> str:
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        _py_l2, ivf_centroid)
+    cents = [ivf_centroid(c, 64, seed) for c in range(n_cells)]
+    probe = [cell for _, cell in sorted(
+        (_py_l2(Q_VEC, c), i + 1) for i, c in enumerate(cents))[:nprobe]]
+    d_exprs = []
+    for c in cents:
+        carr = _vec_sql(c)
+        d_exprs.append(
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> (list_extract(v, i) - list_extract({carr}, i)) * "
+            f"(list_extract(v, i) - list_extract({carr}, i))), (x, y) -> x + y)")
+    ds = "[" + ", ".join(d_exprs) + "]"
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            a AS (SELECT vec_id, v, list_position(ds, list_aggregate(ds, 'min')) AS cell
+                  FROM (SELECT vec_id, v, {ds} AS ds FROM v))
+            SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
+            FROM a WHERE cell IN ({", ".join(str(x) for x in probe)})
+            ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_op_decode": q_cdc_op_decode,
@@ -549,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_content_sha": q_doc_content_sha,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_join": q_knn_join,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -753,6 +803,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
             FROM v ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}""",
         "embedding_ann_lsh_topk": _ann_oracle(_TOPK),
+        "embedding_ivf_topk": _ivf_oracle(_TOPK),
+        "cdc_envelope_roundtrip": """
+            SELECT doc_id, lang, sha256(text) AS roundtrip_sha
+            FROM documents ORDER BY doc_id""",
         "embedding_near_dups": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 300),

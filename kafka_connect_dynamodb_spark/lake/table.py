@@ -357,6 +357,24 @@ class LakeTable:
                              {"op": "compact", "files_rewritten": len(tgt_entries)},
                              None, version)
 
+    def compact_small_files(self, spark: SparkSession, *,
+                            max_files_per_bucket: int = 4) -> Manifest | None:
+        """Compact only the buckets whose file count exceeds the threshold.
+
+        Note the COW MERGE is already self-compacting for the buckets it
+        touches (it rewrites them whole, one file per bucket per commit), so
+        under a pure tail this is a no-op; it exists for tables populated by
+        external appenders or after raising ``n_buckets``. Returns the new
+        manifest, or None if no bucket crossed the threshold."""
+        m = self.manifest()
+        counts: dict[int, int] = {}
+        for e in m.files:
+            counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+        targets = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+        if not targets:
+            return None
+        return self.compact(spark, target_buckets=targets)
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current manifest. Returns
         count removed. (Snapshot expiry: older versions stop being readable.)"""

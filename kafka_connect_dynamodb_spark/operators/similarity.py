@@ -102,6 +102,58 @@ def _query_signature(vec: list[float], planes: int, seed: int) -> int:
     return out
 
 
+def ivf_centroid(cell: int, dim: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random IVF centroid (stand-in for k-means-trained
+    centroids, which a real pipeline would fit on a sample and broadcast)."""
+    return [_unit_component(seed, cell, d) for d in range(dim)]
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (1-based): argmin of squared-L2 distance,
+    ties to the lowest cell. Pure fold expressions — codegen'd, no UDF."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(d2)
+    darr = F.array(*dists)
+    return F.array_position(darr, F.array_min(darr)).cast("int")
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 8, nprobe: int = 2, seed: int = 7) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize vectors into ``n_cells``
+    inverted lists, probe the ``nprobe`` cells nearest the query, exact
+    cosine inside probed cells.
+
+    At scale the cell id is precomputed and the table partitioned/bucketed by
+    it, so a probe is a partition-pruned scan of ~nprobe/n_cells of the data;
+    centroids come from a k-means fit instead of this deterministic stub.
+    """
+    dim = len(query_vec)
+    cents = [ivf_centroid(c, dim, seed) for c in range(n_cells)]
+    # query's probe cells, same arithmetic order as the column fold
+    qd = [(sum_sq, i + 1) for i, sum_sq in enumerate(
+        [_py_l2(query_vec, c) for c in cents])]
+    probe = [cell for _, cell in sorted(qd)[:nprobe]]
+    cand = df.withColumn("_cell", ivf_assign(
+        F.col(vec_col).cast("array<double>"), cents)) \
+        .filter(F.col("_cell").isin(*probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col),
+                         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _py_l2(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding", threshold: float = 0.95,
                              planes: int = 8, seed: int = 42,

@@ -1,0 +1,87 @@
+"""Steady-state maintenance: auto-compaction under a long micro-batch tail,
+and the danger-zone -> resync transition through the streaming path
+(DynamoDBSourceTask.java:318-331 / T1+F3)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kafka_connect_dynamodb_spark.lake.table import LakeTable
+from kafka_connect_dynamodb_spark.plans.pipeline import CdcPipeline
+from kafka_connect_dynamodb_spark.sources.generator import (
+    DEFAULT_BASE_TS, change_events, source_table)
+from kafka_connect_dynamodb_spark.streaming import tail
+
+from tests.oracle import final_hashes, replay
+
+
+def _hashes_of(table, spark):
+    return {(r["repo"], r["path"]):
+            hashlib.sha256((r["content"] or "").encode()).hexdigest()
+            for r in table.read(spark).collect()}
+
+
+def test_cow_merge_is_self_compacting(spark, tmp_path):
+    """The COW MERGE rewrites touched buckets whole, so per-bucket file count
+    stays at 1 over an unbounded micro-batch tail (no small-file buildup —
+    the write-amplification/read-amplification trade the bucket count tunes).
+    compact_small_files is therefore a no-op on a pure-tail table."""
+    base = source_table(spark, 150)
+    ev = change_events(spark, 150, 1200, pre_init_frac=0.0)
+    log = str(tmp_path / "log")
+    ev.repartition(6).write.parquet(log)  # 6 files -> 6 micro-batches
+
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    tail.drain(tail.start_tail(
+        spark, log, table, checkpoint_dir=str(tmp_path / "cp"),
+        init_sync_start=DEFAULT_BASE_TS, max_files_per_trigger=1))
+
+    counts: dict[int, int] = {}
+    for e in table.manifest().files:
+        counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+    assert set(counts) == set(range(4))
+    assert max(counts.values()) == 1
+    assert table.compact_small_files(spark, max_files_per_bucket=1) is None
+
+
+def test_danger_zone_resync_through_stream(spark, tmp_path):
+    """A >20h-old event in the stream fails the query; the pipeline resyncs
+    (fresh INIT_SYNC) and the re-drain converges to the oracle state."""
+    base = source_table(spark, 120)
+    ev = change_events(spark, 120, 900, pre_init_frac=0.0, danger_event=True)
+    log = str(tmp_path / "log")
+    ev.coalesce(2).write.parquet(log)
+
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+
+    from datetime import timezone
+    now = DEFAULT_BASE_TS
+    q = tail.start_tail(spark, log, table, checkpoint_dir=str(tmp_path / "cp1"),
+                        init_sync_start=DEFAULT_BASE_TS, now=now)
+    with pytest.raises(Exception, match="[Dd]anger"):
+        q.awaitTermination()
+
+    # T1/F3: abandon the stream, re-run INIT_SYNC, tail from a new checkpoint
+    info = pipe.resync(base)
+    start = DEFAULT_BASE_TS
+    tail.drain(tail.start_tail(spark, log, table,
+                               checkpoint_dir=str(tmp_path / "cp2"),
+                               init_sync_start=start))
+
+    ev_rows = []
+    for r in ev.collect():
+        d = r.asDict()
+        d["ts"] = d["ts"].replace(tzinfo=timezone.utc)
+        ev_rows.append(d)
+    state = replay([r.asDict() for r in base.collect()], ev_rows,
+                   init_sync_start=start)
+    assert _hashes_of(table, spark) == final_hashes(state)
+    assert info.init_sync_state == "FINISHED"
