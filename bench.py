@@ -74,6 +74,13 @@ def main() -> None:
                       pre_init_frac=0.02).write.parquet(log_dir)
         base = source_table(spark, REPLAY_KEYS)
 
+        # JIT/codegen + page-cache warm-up on a slice (untimed)
+        warm_tbl = LakeTable(os.path.join(work, "warm"))
+        warm = CdcPipeline(spark, warm_tbl, n_buckets=64,
+                           clock=lambda: DEFAULT_BASE_TS.timestamp())
+        warm.init_sync(base.limit(20000))
+        warm.sync_batch(spark.read.parquet(log_dir).limit(100000), 0)
+
         table = LakeTable(os.path.join(work, "tbl"))
         pipe = CdcPipeline(spark, table, n_buckets=64,
                            clock=lambda: DEFAULT_BASE_TS.timestamp())

@@ -38,8 +38,14 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
                available_now: bool = True,
                processing_time: str | None = None,
                schema=None,
-               metrics: list[dict[str, Any]] | None = None) -> StreamingQuery:
-    """Tail a parquet change-event log directory into the lake table.
+               metrics: list[dict[str, Any]] | None = None,
+               log_format: str = "parquet",
+               reader_options: dict[str, str] | None = None) -> StreamingQuery:
+    """Tail a change-event log directory into the lake table.
+
+    ``log_format`` accepts any Spark streaming file source ("parquet" default;
+    "json"/"csv" for text-shipped logs — their seq_no arrives as a string and
+    is cast by the decimal(38,0) cast in the apply path).
 
     ``available_now=True`` drains the existing log and stops (replay mode);
     otherwise runs continuously with ``processing_time`` triggers (the
@@ -52,7 +58,9 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
     reader = spark.readStream.schema(schema or events_schema())
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    src = reader.parquet(log_dir)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    src = reader.format(log_format).load(log_dir)
 
     def _apply(batch_df, batch_id: int):
         res = apply_batch(batch_df.sparkSession, table, batch_df,

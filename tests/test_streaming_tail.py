@@ -135,6 +135,21 @@ def test_schema_evolution_through_stream(spark, tmp_path):
     assert _hashes_of(table, spark) == _oracle(base, ev)
 
 
+def test_json_format_log_source(spark, tmp_path):
+    """S6 over a JSON-shipped log: same parity through log_format='json'."""
+    base = source_table(spark, N_KEYS)
+    ev = change_events(spark, N_KEYS, N_EVENTS, pre_init_frac=0.0)
+    log = str(tmp_path / "log")
+    ev.coalesce(2).write.json(log)
+
+    table, _ = _pipeline(spark, tmp_path, base)
+    tail.drain(tail.start_tail(spark, log, table,
+                               checkpoint_dir=str(tmp_path / "cp"),
+                               init_sync_start=DEFAULT_BASE_TS,
+                               log_format="json"))
+    assert _hashes_of(table, spark) == _oracle(base, ev)
+
+
 def test_stream_after_snapshot_drops_pre_init_events(spark, tmp_path):
     """F2 through the stream: events older than init_sync_start - 1h are
     dropped (covered by the snapshot), newer ones apply."""
