@@ -49,6 +49,15 @@ def get_spark(
         # ~2x cores keeps every core busy through stragglers without tiny tasks.
         shuffle_partitions = max(2 * cores, 8)
 
+    # Python workers unpickle package-defined UDFs by reference, so the
+    # package root must be importable in THEIR interpreter too — PYTHONPATH
+    # set before the JVM spawns covers local mode (a cluster ships the
+    # package via spark-submit --py-files instead).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+
     builder = SparkSession.builder
     # Respect an externally-provided master (spark-submit --master / cluster
     # manager env); local[N] is only the sandbox default.
