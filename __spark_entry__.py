@@ -207,6 +207,38 @@ def q_semi_join_active_nations(spark, sf_dir):
                   .select("n_nationkey", "n_name").orderBy("n_nationkey"))
 
 
+def q_rollup_order_stats(spark, sf_dir):
+    """Grouping-set coverage: ROLLUP(priority, status) with decimal sums
+    (subtotals + grand total, NULL-marked)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+                  .agg(F.count("*").alias("n_orders"),
+                       F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .alias("sum_price"))
+                  .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                           F.col("o_orderstatus").asc_nulls_first()))
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 analog: 5-table join chain, small dims broadcast, revenue per
+    nation within one region."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+           .filter(F.col("r_name") == "ASIA"))
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - dec("l_discount"))).cast("decimal(28,4)")
+    return (j.groupBy("n_name").agg(F.sum(rev).alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -583,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "anti_join_inactive": q_anti_join_inactive,
         "semi_join_active_nations": q_semi_join_active_nations,
+        "rollup_order_stats": q_rollup_order_stats,
+        "q5_region_revenue": q_q5_region_revenue,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
@@ -691,6 +725,24 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT c_nationkey FROM customer
                    WHERE c_custkey IN (SELECT o_custkey FROM orders))
             ORDER BY n_nationkey""",
+        "rollup_order_stats": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority ASC NULLS FIRST,
+                     o_orderstatus ASC NULLS FIRST""",
+        "q5_region_revenue": """
+            SELECT n_name,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) AS revenue
+            FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name ORDER BY revenue DESC, n_name""",
         "exact_dedup_docs": """
             SELECT sha256(substr(text, 1, 64)) AS h, min(doc_id) AS keep_id,
                    count(*) AS n_copies
