@@ -161,9 +161,9 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
 
 The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
 executors. No multi-node cluster exists in this sandbox, so the identical job
-runs under Spark standalone ``local-cluster`` mode — every executor a separate
-JVM ({EXEC_CORES} cores / {EXEC_MEM_MB}m each, own heap/GC/shuffle dirs on
-tmpfs) — and only the executor COUNT scales, exactly the axis the rule names.
+runs at two parallelism levels (mode={mode!r}: "local" = local[n] threads in
+separate JVMs per level; "local-cluster" = separate executor JVMs of
+{EXEC_CORES} cores / {EXEC_MEM_MB}m each) on the same deterministic input.
 The sandbox is a shared-host microVM with 2-3x wall-time jitter, so each level
 runs {trials} alternating trials and the minimum (noise-floor) time is used.
 
