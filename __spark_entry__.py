@@ -151,14 +151,20 @@ def q_cdc_dedup_deliveries(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 analog over lineitem (DECIMAL aggregates for exactness)."""
+    """TPC-H Q1 analog over lineitem (DECIMAL aggregates for exactness).
+
+    Final money columns are surfaced as pinned-scale strings: DuckDB clients
+    downcast DECIMAL to float64 (dropping trailing zeros, '138014.00' ->
+    '138014.0'), so a string projection is the only representation both
+    engines render byte-identically.
+    """
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
               .groupBy("l_returnflag", "l_linestatus")
-              .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
-                   F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-                   F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")).alias("sum_disc_price"),
+              .agg(F.sum(dec("l_quantity")).cast("string").alias("sum_qty"),
+                   F.sum(dec("l_extendedprice")).cast("string").alias("sum_base_price"),
+                   F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")).cast("string").alias("sum_disc_price"),
                    F.count("*").alias("count_order"))
               .orderBy("l_returnflag", "l_linestatus"))
 
@@ -173,7 +179,8 @@ def q_q3_top_revenue_orders(spark, sf_dir):
                 .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
     rev = (joined.groupBy("l_orderkey")
                  .agg(F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")).alias("revenue")))
-    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+    return (rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+               .select("l_orderkey", F.col("revenue").cast("string").alias("revenue")))
 
 
 def q_topk_per_group(spark, sf_dir):
@@ -214,7 +221,7 @@ def q_rollup_order_stats(spark, sf_dir):
     return (orders.rollup("o_orderpriority", "o_orderstatus")
                   .agg(F.count("*").alias("n_orders"),
                        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                        .alias("sum_price"))
+                        .cast("string").alias("sum_price"))
                   .orderBy(F.col("o_orderpriority").asc_nulls_first(),
                            F.col("o_orderstatus").asc_nulls_first()))
 
@@ -236,7 +243,8 @@ def q_q5_region_revenue(spark, sf_dir):
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
                                      - dec("l_discount"))).cast("decimal(28,4)")
     return (j.groupBy("n_name").agg(F.sum(rev).alias("revenue"))
-             .orderBy(F.col("revenue").desc(), F.col("n_name")))
+             .orderBy(F.col("revenue").desc(), F.col("n_name"))
+             .select("n_name", F.col("revenue").cast("string").alias("revenue")))
 
 
 # --------------------------------------------------------------------------
@@ -693,22 +701,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY event_type""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS sum_disc_price,
+                       AS DECIMAL(28,4))) AS VARCHAR) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
         "q3_top_revenue_orders": """
-            SELECT l_orderkey,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS revenue
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                          JOIN customer ON o_custkey = c_custkey
-            GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+              GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10)
+            SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue FROM rev
+            ORDER BY CAST(revenue AS DECIMAL(38,4)) DESC, l_orderkey""",
         "topk_per_group": """
             SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM
             (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -727,22 +738,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_nationkey""",
         "rollup_order_stats": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority ASC NULLS FIRST,
                      o_orderstatus ASC NULLS FIRST""",
         "q5_region_revenue": """
             SELECT n_name,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS revenue
+                       AS DECIMAL(28,4))) AS VARCHAR) AS revenue
             FROM lineitem
               JOIN orders   ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation   ON c_nationkey = n_nationkey
               JOIN region   ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
-            GROUP BY n_name ORDER BY revenue DESC, n_name""",
+            GROUP BY n_name
+            ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) DESC, n_name""",
         "exact_dedup_docs": """
             SELECT sha256(substr(text, 1, 64)) AS h, min(doc_id) AS keep_id,
                    count(*) AS n_copies
@@ -885,7 +899,8 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_id % 2 = 1),
             u AS (SELECT * FROM a UNION ALL BY NAME (SELECT * FROM b))
             SELECT event_type, count(*) AS n_rows,
-                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_missing_props
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_missing_props
             FROM u GROUP BY event_type ORDER BY event_type""",
         "cdc_salted_hot_key_agg": """
             SELECT user_id % 8 AS hot_key, count(*) AS n_events,

@@ -59,9 +59,17 @@ def main(only: list[str] | None = None):
             print(f"SKIP {name}: no oracle (rows={len(s_rows)})")
             continue
         try:
-            res = con.sql(oracles[name])
-            d_cols = [c for c in res.columns]
-            d_rows = res.fetchall()
+            # Fetch through pandas, like the driver: DuckDB downcasts DECIMAL
+            # and HUGEINT columns to float64 here, so trailing-zero decimals
+            # ('138014.00' vs '138014.0') and int-vs-float renderings surface
+            # as mismatches instead of being hidden by Decimal-exact fetchall.
+            pdf = con.sql(oracles[name]).df()
+            d_cols = list(pdf.columns)
+            def _py(v):
+                v = v.item() if hasattr(v, "item") else v  # numpy -> python
+                return None if isinstance(v, float) and v != v else v
+            d_rows = [tuple(_py(v) for v in row)
+                      for row in pdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
