@@ -301,11 +301,20 @@ def q_minhash_lsh_near_dups(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard verification over prefix-bucketed candidates."""
+    """Exact n-gram Jaccard verification over prefix-bucketed candidates.
+
+    Buckets are frequency-capped (1 < size <= 50) so a boilerplate-heavy
+    corpus (many docs sharing one prefix) cannot make a single bucket
+    quadratic — the oversized bucket is dropped, not exploded."""
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.substring("text", 1, 16).alias("b"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tk"))
+    # No broadcast hint: the prefix->size relation is unbounded at scale
+    # (one row per distinct prefix); AQE picks broadcast when it fits.
+    ok = (t.groupBy("b").agg(F.count("*").alias("_n"))
+           .filter((F.col("_n") > 1) & (F.col("_n") <= 50)).select("b"))
+    t = t.join(ok, "b")
     a = t.select(F.col("doc_id").alias("id_a"), "b", F.col("tk").alias("tka"))
     bb = t.select(F.col("doc_id").alias("id_b"), "b", F.col("tk").alias("tkb"))
     pairs = a.join(bb, "b").filter(F.col("id_a") < F.col("id_b"))
@@ -422,6 +431,32 @@ def q_knn_join(spark, sf_dir):
     return knn_join_bruteforce(left, right, 3).orderBy("qid", "rk")
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the SCALE path (no crossJoin):
+    one shuffle on the hyperplane signature, frequency-capped buckets,
+    exact cosine only within buckets."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    return (embedding_near_dup_pairs(
+                emb, threshold=0.36, planes=_ANN_PLANES, seed=_ANN_SEED,
+                dim=64, max_bucket_size=200)
+            .orderBy("id_a", "id_b"))
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """LSH-bucketed batch kNN join — the SCALE path: left side explodes into
+    its probe buckets (sig + hamming-1), equi-join on signature against the
+    right side, ranking window inside probed buckets only."""
+    from kafka_connect_dynamodb_spark.operators.similarity import knn_join_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 30)
+    right = emb.filter(F.col("vec_id") >= 30)
+    return (knn_join_lsh(left, right, 3, planes=_ANN_PLANES, seed=_ANN_SEED,
+                         multiprobe=1)
+            .orderBy("qid", "rk"))
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize into 8 cells, probe the 2 nearest, exact
     cosine within probed cells (the partition-pruned scale path)."""
@@ -496,12 +531,17 @@ def q_multimodal_features(spark, sf_dir):
                  F.lit(None).cast("int").alias("duration_ms"),
                  F.lit("fake").alias("codec")).alias("meta"))
     feats = extract_features(media, decoder=fake_decoder)
+    # Surface feature channels as the exact uint16 lattice values (f * 65535
+    # rounds back to the integer the decoder started from): integer outputs
+    # make the oracle comparison exact, where a float32-vs-float64 rounding
+    # at 6 decimals would be boundary-flaky.
+    u16 = lambda i: (F.round(F.element_at("features", i).cast("double")
+                             * 65535.0, 0).cast("bigint"))
     return feats.select(
         "media_id", "kind",
         F.size("features").alias("feature_dim"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
-        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15")) \
-        .orderBy("media_id")
+        u16(1).alias("f0_u16"),
+        u16(16).alias("f15_u16")).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------
@@ -564,17 +604,23 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
 
 
-def _ann_oracle(k: int) -> str:
-    from kafka_connect_dynamodb_spark.operators.similarity import (
-        _query_signature, _unit_component)
-    qsig = _query_signature(Q_VEC, _ANN_PLANES, _ANN_SEED)
-    probe = sorted({qsig} | {qsig ^ (1 << p) for p in range(_ANN_PLANES)})
+def _sig_sql(vcol: str = "v") -> str:
+    """SQL mirror of operators.similarity.hyperplane_signature (same fold
+    order, same pseudo-random plane components)."""
+    from kafka_connect_dynamodb_spark.operators.similarity import _unit_component
     sig_terms = []
     for p in range(_ANN_PLANES):
         comps = _vec_sql([_unit_component(_ANN_SEED, p, d) for d in range(64)])
-        proj = _dot_sql("v", comps)
+        proj = _dot_sql(vcol, comps)
         sig_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
-    sig = " + ".join(sig_terms)
+    return " + ".join(sig_terms)
+
+
+def _ann_oracle(k: int) -> str:
+    from kafka_connect_dynamodb_spark.operators.similarity import _query_signature
+    qsig = _query_signature(Q_VEC, _ANN_PLANES, _ANN_SEED)
+    probe = sorted({qsig} | {qsig ^ (1 << p) for p in range(_ANN_PLANES)})
+    sig = _sig_sql("v")
     q = _vec_sql(Q_VEC)
     return f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -605,6 +651,55 @@ def _ivf_oracle(k: int, n_cells: int = 8, nprobe: int = 2, seed: int = 7) -> str
             SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
             FROM a WHERE cell IN ({", ".join(str(x) for x in probe)})
             ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
+def _near_dup_lsh_oracle(threshold: float, max_bucket: int) -> str:
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v, {_sig_sql('v')} AS sig FROM v),
+            ok AS (SELECT sig FROM s GROUP BY sig
+                   HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+            e AS (SELECT s.* FROM s JOIN ok USING (sig)),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         {_cos_sql('a.v', 'b.v')} AS cos_sim
+                  FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+            SELECT DISTINCT id_a, id_b, cos_sim FROM p
+            WHERE cos_sim >= {threshold} ORDER BY id_a, id_b"""
+
+
+def _knn_lsh_oracle(k: int) -> str:
+    probes = ", ".join(["l.sig"] + [f"xor(l.sig, {1 << p})"
+                                    for p in range(_ANN_PLANES)])
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v, {_sig_sql('v')} AS sig FROM v),
+            l AS (SELECT vec_id AS qid, v AS qv, sig FROM s WHERE vec_id < 30),
+            r AS (SELECT vec_id AS nid, v AS nv, sig FROM s WHERE vec_id >= 30),
+            cand AS (SELECT l.qid, r.nid, {_cos_sql('l.qv', 'r.nv')} AS cos_sim
+                     FROM l JOIN r ON r.sig IN ({probes})),
+            rk AS (SELECT qid, nid, cos_sim,
+                          row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rk FROM cand)
+            SELECT qid, nid, rk, cos_sim FROM rk WHERE rk <= {k}
+            ORDER BY qid, rk"""
+
+
+def _u16_le_sql(hx: str, i: int) -> str:
+    """Little-endian uint16 at byte offset 2*i of a lowercase-hex digest —
+    the SQL mirror of fake_decoder's np.frombuffer(h, dtype=np.uint16)."""
+    d = lambda pos: f"(strpos('0123456789abcdef', substr({hx}, {pos}, 1)) - 1)"
+    lo = f"({d(4 * i + 1)} * 16 + {d(4 * i + 2)})"
+    hi = f"({d(4 * i + 3)} * 16 + {d(4 * i + 4)})"
+    return f"CAST({lo} + 256 * {hi} AS BIGINT)"
+
+
+_MULTIMODAL_ORACLE = f"""
+            WITH h AS (SELECT doc_id AS media_id, 'image' AS kind,
+                              sha256(text) AS hx FROM documents)
+            SELECT media_id, kind, 16 AS feature_dim,
+                   {_u16_le_sql('hx', 0)} AS f0_u16,
+                   {_u16_le_sql('hx', 15)} AS f15_u16
+            FROM h ORDER BY media_id"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -642,7 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_salted_hot_key_agg": q_cdc_salted_hot_key_agg,
         "multimodal_features": q_multimodal_features,
@@ -776,8 +873,11 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id""",
         "minhash_lsh_near_dups": _minhash_oracle(),
         "ngram_jaccard_pairs": f"""
-            WITH t AS (SELECT doc_id, substr(text, 1, 16) AS b,
-                              list_distinct({_TOKS_SQL}) AS tk FROM documents)
+            WITH t0 AS (SELECT doc_id, substr(text, 1, 16) AS b,
+                               list_distinct({_TOKS_SQL}) AS tk FROM documents),
+            ok AS (SELECT b FROM t0 GROUP BY b
+                   HAVING count(*) > 1 AND count(*) <= 50),
+            t AS (SELECT t0.* FROM t0 JOIN ok USING (b))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
                        len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
@@ -906,6 +1006,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id % 8 AS hot_key, count(*) AS n_events,
                    max(event_id) AS max_event_id
             FROM events GROUP BY 1 ORDER BY hot_key""",
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "embedding_near_dup_pairs": _near_dup_lsh_oracle(0.36, 200),
+        "knn_join_lsh": _knn_lsh_oracle(3),
     }
 
 

@@ -157,10 +157,16 @@ def _py_l2(a: list[float], b: list[float]) -> float:
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding", threshold: float = 0.95,
                              planes: int = 8, seed: int = 42,
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             max_bucket_size: int = 1000) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket vectors, pair within
-    buckets, keep cosine >= threshold. The all-pairs analog of ann_topk_lsh;
-    bucket size caps the quadratic blowup like MinHash banding does."""
+    buckets, keep cosine >= threshold. The all-pairs analog of ann_topk_lsh.
+
+    ``max_bucket_size`` frequency-prunes degenerate buckets (e.g. the
+    all-zeros region of a padded corpus) so no single bucket goes quadratic —
+    the same cap MinHash banding applies. One shuffle on the signature; the
+    self-join carries (id, vector), never raw documents.
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), dim,
@@ -168,12 +174,55 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     with_sig = df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).cast("array<double>").alias("v"),
                          sig.alias("sig"))
-    a = with_sig.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = with_sig.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    sizes = (with_sig.groupBy("sig").agg(F.count("*").alias("_n"))
+                     .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+                     .select("sig"))
+    eligible = with_sig.join(F.broadcast(sizes), "sig")
+    a = eligible.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = eligible.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
     return (pairs.withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
                  .filter(F.col("cos_sim") >= threshold)
                  .select("id_a", "id_b", "cos_sim").distinct())
+
+
+def knn_join_lsh(left: DataFrame, right: DataFrame, k: int, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 planes: int = 6, seed: int = 42,
+                 multiprobe: int = 1) -> DataFrame:
+    """Batch kNN join, LSH-bucketed scale path: both sides get a
+    random-hyperplane signature; each left vector probes its own bucket plus
+    (when ``multiprobe``>=1) the hamming-1 neighbor buckets; exact cosine +
+    ranking window inside the probed buckets only.
+
+    Plan shape at scale: explode left into (probe_sig, row) — a bounded
+    (planes+1)x fanout of the SMALL query side — then a plain equi-join
+    shuffle on the signature against the big side (which at rest would be
+    bucketed/partitioned by sig, making this a co-located join). Per-query
+    cost drops from O(|R|) to ~(multiprobe*planes+1)/2^planes * |R|.
+    Approximate: a true neighbor hashed >1 bit away is missed (recall is
+    tested against knn_join_bruteforce).
+    """
+    from pyspark.sql import Window as W
+    dim = len(left.select(vec_col).first()[0])
+    sig = lambda c: hyperplane_signature(c.cast("array<double>"), dim, planes, seed)
+    probes = [F.col("_sig")]
+    if multiprobe >= 1:
+        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    l = (left.select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).cast("array<double>").alias("qv"),
+                     sig(F.col(vec_col)).alias("_sig"))
+             .withColumn("probe", F.explode(F.array(*probes)))
+             .drop("_sig"))
+    r = right.select(F.col(id_col).alias("nid"),
+                     F.col(vec_col).cast("array<double>").alias("nv"),
+                     sig(F.col(vec_col)).alias("probe"))
+    scored = (l.join(r, "probe")
+               .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv"))))
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select("qid", "nid", "rk", "cos_sim"))
 
 
 def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int, *,

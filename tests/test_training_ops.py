@@ -97,6 +97,37 @@ def test_knn_join(spark):
     assert top[(0, 1)] == 0 and top[(1, 1)] == 1
 
 
+def test_knn_join_lsh_recall_vs_bruteforce(spark):
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    left = df.filter("vec_id < 10")
+    right = df.filter("vec_id >= 10")
+    exact = {(r.qid, r.rk): r.nid
+             for r in similarity.knn_join_bruteforce(left, right, 1).collect()}
+    approx = {(r.qid, r.rk): r.nid
+              for r in similarity.knn_join_lsh(left, right, 1, planes=4,
+                                               multiprobe=1).collect()}
+    # every query gets answered, and recall@1 is decent for random gaussians
+    assert len({q for q, _ in approx}) == 10
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= 5
+
+
+def test_embedding_near_dup_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 identical vectors all land in one LSH bucket; with the cap below the
+    # bucket size every pair is pruned, with a larger cap they all survive.
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.embedding_near_dup_pairs(
+        df, threshold=0.9, planes=4, max_bucket_size=10)
+    assert capped.count() == 0
+    full = similarity.embedding_near_dup_pairs(
+        df, threshold=0.9, planes=4, max_bucket_size=100)
+    assert full.count() == 30 * 29 // 2
+
+
 def test_quality_features(spark, docs):
     out = {r.doc_id: r for r in text.quality_features(docs).collect()}
     assert out[0].n_tokens == 9
