@@ -160,10 +160,28 @@ def apply_batch(spark: SparkSession, table: LakeTable, df: DataFrame, *,
     The LWW winners are persisted so the batch makes exactly ONE full pass
     over the events: schema discovery, bucket pruning and the MERGE join all
     read the ~|keys|-row cache, never the raw event stream again.
+
+    The F3 danger-zone check rides the same pass as an ``observe`` metric
+    (min ts over the pre-filter events) instead of a separate agg job; the
+    observation resolves when the winners cache materializes, still BEFORE
+    any merge work, so a breach aborts the batch unapplied
+    (DynamoDBSourceTask.java:318-331). The CollectMetrics node intentionally
+    pins the metric above the scan — the reference's check also sees every
+    polled record, including ones later filters drop.
     """
-    winners = prepare_winners(df, init_sync_start=init_sync_start,
-                              now=now).persist()
+    obs = None
+    if now is not None:
+        from pyspark.sql import Observation
+        obs = Observation()
+        df = df.observe(obs, F.min("ts").alias("min_ts"))
+    winners = prepare_winners(df, init_sync_start=init_sync_start).persist()
     try:
+        winners.count()  # materialize the single events pass + the observation
+        if obs is not None:
+            min_ts = obs.get.get("min_ts")
+            if min_ts is not None and min_ts <= filters.danger_cutoff(now):
+                raise DangerZoneError(
+                    "batch contains events older than the 20h danger zone")
         deduped = decode_winners(winners, discover_fields=discover_fields)
         return table.merge(spark, deduped, batch_id=batch_id, source=source)
     finally:

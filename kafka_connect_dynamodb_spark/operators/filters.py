@@ -59,6 +59,16 @@ def pre_init_sync_filter(df: DataFrame, init_sync_start: datetime,
     return df.filter(F.col(ts_col) > F.lit(cutoff))
 
 
+def danger_cutoff(now: datetime,
+                  danger_hours: int = DANGER_ZONE_HOURS) -> datetime:
+    """The danger-zone boundary as a session-TZ-naive (UTC) datetime —
+    directly comparable to Spark-returned timestamps."""
+    cutoff = now - timedelta(hours=danger_hours)
+    if cutoff.tzinfo is not None:
+        cutoff = cutoff.astimezone(timezone.utc).replace(tzinfo=None)
+    return cutoff
+
+
 def danger_zone_breached(df: DataFrame, now: datetime, ts_col: str = "ts",
                          danger_hours: int = DANGER_ZONE_HOURS) -> bool:
     """F3: True if any event is older than now-20h => events may have expired
@@ -68,10 +78,7 @@ def danger_zone_breached(df: DataFrame, now: datetime, ts_col: str = "ts",
     Batch-level min(ts) aggregate instead of a per-record check — one partial
     agg over the micro-batch, evaluated before any merge work.
     """
-    cutoff = now - timedelta(hours=danger_hours)
-    if cutoff.tzinfo is not None:
-        # Spark returns session-TZ-naive datetimes (session pinned to UTC)
-        cutoff = cutoff.astimezone(timezone.utc).replace(tzinfo=None)
+    cutoff = danger_cutoff(now, danger_hours)
     row = df.agg(F.min(ts_col).alias("min_ts")).collect()[0]
     return row.min_ts is not None and row.min_ts <= cutoff
 

@@ -20,7 +20,7 @@ the MERGE commit for the batch is durable.
 from __future__ import annotations
 
 from datetime import datetime
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -34,6 +34,7 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
                checkpoint_dir: str, source: str = "stream",
                init_sync_start: datetime | None = None,
                now: datetime | None = None,
+               clock: Callable[[], datetime] | None = None,
                max_files_per_trigger: int | None = None,
                available_now: bool = True,
                processing_time: str | None = None,
@@ -54,6 +55,13 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
     A ``DangerZoneError`` raised inside a batch fails the query; the caller
     (plans.pipeline) catches it via ``query.awaitTermination`` and re-runs
     INIT_SYNC — transition T1/F3.
+
+    ``now`` pins a single logical clock for a whole replay (historical-log
+    mode); ``clock`` is evaluated PER MICRO-BATCH, matching the reference's
+    per-poll ``Instant.now()`` danger-zone clock
+    (DynamoDBSourceTask.java:318-331) — use it for long-lived
+    ``processing_time`` tails where a query-start snapshot of the clock
+    would go stale.
     """
     reader = spark.readStream.schema(schema or events_schema())
     if max_files_per_trigger:
@@ -65,7 +73,8 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
     def _apply(batch_df, batch_id: int):
         res = apply_batch(batch_df.sparkSession, table, batch_df,
                           batch_id=batch_id, source=source,
-                          init_sync_start=init_sync_start, now=now)
+                          init_sync_start=init_sync_start,
+                          now=clock() if clock is not None else now)
         if metrics is not None:
             metrics.append(res)
 

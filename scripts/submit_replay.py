@@ -66,12 +66,24 @@ def main(argv: list[str] | None = None) -> int:
         info = pipe.init_sync(spark.read.parquet(args.snapshot))
         print(f"INIT_SYNC done: {info.init_sync_count} rows", flush=True)
 
+    # Danger-zone clock (F3): evaluated per micro-batch. --base-ts pins the
+    # logical clock (historical replay with the reference's resync semantics);
+    # --follow without it uses the wall clock like the reference's per-poll
+    # Instant.now(). A plain drain of an old log keeps the check off — every
+    # historical event would spuriously look expired against today's clock.
+    danger_clock = None
+    if clock is not None:
+        danger_clock = lambda: datetime.fromtimestamp(clock(), tz=timezone.utc)  # noqa: E731
+    elif args.follow:
+        danger_clock = lambda: datetime.now(timezone.utc)  # noqa: E731
+
     start = datetime.fromtimestamp(info.init_sync_start / 1000, tz=timezone.utc)
     metrics: list[dict] = []
     while True:
         q = tail.start_tail(
             spark, args.log, table, checkpoint_dir=args.checkpoint,
             init_sync_start=start,
+            clock=danger_clock,
             available_now=not args.follow,
             processing_time=args.trigger if args.follow else None,
             max_files_per_trigger=args.max_files_per_trigger,

@@ -150,6 +150,61 @@ def test_json_format_log_source(spark, tmp_path):
     assert _hashes_of(table, spark) == _oracle(base, ev)
 
 
+def test_per_batch_clock_trips_danger_zone_midstream(spark, tmp_path):
+    """F3 with a LIVE clock: the danger-zone 'now' is evaluated per
+    micro-batch (DynamoDBSourceTask.java:318-331), not snapshotted at query
+    start. Batch 1 passes under a fresh clock; the clock then advances 40h,
+    and the next batch of (now-stale) events must fail the query with
+    DangerZoneError. Recovery = resync + re-tail, ending at oracle parity."""
+    import time as _time
+
+    import pytest
+    from datetime import timedelta
+
+    base = source_table(spark, 50)
+    ev = change_events(spark, 50, 400, pre_init_frac=0.0)
+    first = ev.filter(ev.seq_no % 2 == 0)
+    second = ev.filter(ev.seq_no % 2 == 1)
+
+    log = str(tmp_path / "log")
+    cp = str(tmp_path / "cp")
+    first.coalesce(1).write.mode("append").parquet(log)
+
+    table, pipe = _pipeline(spark, tmp_path, base)
+    fake = {"now": DEFAULT_BASE_TS + timedelta(hours=1)}
+    metrics: list[dict] = []
+    q = tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                        init_sync_start=DEFAULT_BASE_TS,
+                        clock=lambda: fake["now"],
+                        available_now=False, processing_time="500 milliseconds",
+                        metrics=metrics)
+    try:
+        deadline = _time.time() + 60
+        while not metrics and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert metrics, "first batch never applied under the fresh clock"
+
+        # live tail ages 40h; the same-aged events are now beyond the 20h zone
+        fake["now"] = DEFAULT_BASE_TS + timedelta(hours=40)
+        second.coalesce(1).write.mode("append").parquet(log)
+        deadline = _time.time() + 60
+        while q.exception() is None and _time.time() < deadline:
+            _time.sleep(0.2)
+        exc = q.exception()
+        assert exc is not None and "DangerZone" in str(exc)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    # T1 recovery: resync (fresh snapshot) then drain the whole log with the
+    # danger check off (historical replay) -> parity with the oracle replay.
+    pipe.resync(base)
+    tail.drain(tail.start_tail(spark, log, table,
+                               checkpoint_dir=str(tmp_path / "cp2"),
+                               init_sync_start=DEFAULT_BASE_TS))
+    assert _hashes_of(table, spark) == _oracle(base, ev)
+
+
 def test_stream_after_snapshot_drops_pre_init_events(spark, tmp_path):
     """F2 through the stream: events older than init_sync_start - 1h are
     dropped (covered by the snapshot), newer ones apply."""
