@@ -25,11 +25,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+# Stable lineage schema: JSON inference over a non-empty history yields a
+# superset of this, but a FRESH table must expose the same columns so
+# downstream selects don't break on the empty case.
+LINEAGE_SCHEMA = ("commit long, op string, batch_id long, source string, "
+                  "rows_in long, buckets_touched long, files_rewritten long, "
+                  "files_written long, files long")
+
+
 def lineage_frame(spark: SparkSession, table) -> DataFrame:
     """Commit lineage of a LakeTable as a DataFrame (one row per commit)."""
     rows = [json.dumps(e) for e in table.manifest().lineage]
-    return spark.read.json(spark.sparkContext.parallelize(rows, 1)) if rows \
-        else spark.createDataFrame([], "commit long")
+    if not rows:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    inferred = spark.read.json(spark.sparkContext.parallelize(rows, 1))
+    base = spark.createDataFrame([], LINEAGE_SCHEMA)
+    # union through the pinned schema so every lineage column exists even
+    # when no commit in the window carried it
+    return inferred.unionByName(base, allowMissingColumns=True)
 
 
 def bucket_histogram(spark: SparkSession, table) -> DataFrame:

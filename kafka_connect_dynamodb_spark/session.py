@@ -18,14 +18,21 @@ def _local_dir() -> str:
     """Shuffle/spill dir. On a cluster this is the node's NVMe scratch set by
     the cluster manager; in the local[*] sandbox, /dev/shm (RAM-backed) stands
     in so shuffle I/O doesn't serialize on the single virtual disk. Override
-    with $SPARK_GRAFT_LOCAL_DIR."""
+    with $SPARK_GRAFT_LOCAL_DIR; set SPARK_GRAFT_TMPFS=0 to force /tmp.
+
+    tmpfs competes with the JVM heap for physical memory, so /dev/shm is used
+    only when it currently has >=16 GiB free — otherwise spill goes to /tmp
+    (real disk) instead of risking tmpfs exhaustion / the OOM killer."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        d = "/dev/shm/spark-local"
-        os.makedirs(d, exist_ok=True)
-        return d
+    if (os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+            and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            d = "/dev/shm/spark-local"
+            os.makedirs(d, exist_ok=True)
+            return d
     return "/tmp"
 
 
@@ -64,7 +71,12 @@ def get_spark(
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     if master:
         builder = builder.master(master)
-    elif "--master" not in submit_args and not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # Spark itself never reads SPARK_MASTER — pass it through explicitly,
+        # otherwise session creation outside spark-submit dies with
+        # "master URL must be set".
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    elif "--master" not in submit_args:
         builder = builder.master(f"local[{cores}]")
     builder = (
         builder

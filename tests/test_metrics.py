@@ -33,6 +33,18 @@ def test_lineage_frame_records_commits(spark, tmp_path):
     assert merge["rows_in"] > 0 and merge["buckets_touched"] >= 1
 
 
+def test_lineage_frame_fresh_table_has_full_schema(spark, tmp_path):
+    """The empty-history fallback exposes the same columns as a populated
+    one, so `select('batch_id', 'rows_in', ...)` works on a fresh table."""
+    from types import SimpleNamespace
+    no_history = SimpleNamespace(manifest=lambda: SimpleNamespace(lineage=[]))
+    empty = lineage_frame(spark, no_history)
+    assert empty.count() == 0
+    for c in ("commit", "op", "batch_id", "source", "rows_in",
+              "buckets_touched", "files_rewritten", "files_written"):
+        assert c in empty.columns
+
+
 def test_bucket_histogram_covers_all_buckets(spark, tmp_path):
     table = _replayed(spark, tmp_path)
     hist = {r["bucket"]: r["n_files"] for r in bucket_histogram(spark, table).collect()}
