@@ -33,14 +33,17 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from kafka_connect_dynamodb_spark.lake.commitio import (
+    CommitConflict, CommitIO, PosixCommitIO)
+
+__all__ = ["LakeTable", "Manifest", "CommitConflict"]
 
 META_COLS = ("_seq", "_deleted")
 SEQ_TYPE = "decimal(38,0)"  # 26-digit DynamoDB seq-nos fit (tests use 26 digits)
@@ -69,27 +72,28 @@ class Manifest:
         return Manifest(**json.loads(s))
 
 
-class CommitConflict(RuntimeError):
-    pass
-
-
 class LakeTable:
-    """A bucketed, versioned parquet table with atomic commits and COW merge."""
+    """A bucketed, versioned parquet table with atomic commits and COW merge.
 
-    def __init__(self, root: str):
+    All driver-side metadata I/O goes through ``io`` (commitio.CommitIO) —
+    swap in a rename-based (HDFS) or conditional-put (S3) implementation to
+    run the same commit protocol on an object store; see commitio.py for the
+    per-store atomicity contract.
+    """
+
+    def __init__(self, root: str, io: CommitIO | None = None):
         self.root = root
         self.log_dir = os.path.join(root, "_log")
+        self.io = io if io is not None else PosixCommitIO()
 
     # ------------------------------------------------------------------ log
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir) and bool(self._versions())
+        return bool(self._versions())
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for f in os.listdir(self.log_dir):
+        for f in self.io.list_dir(self.log_dir):
             if f.startswith("v") and f.endswith(".json"):
                 try:
                     out.append(int(f[1:-5]))
@@ -105,24 +109,13 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v:012d}.json")) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(
+            self.io.read_text(os.path.join(self.log_dir, f"v{v:012d}.json")))
 
     def _commit(self, m: Manifest) -> None:
-        """Atomic single-winner commit: link() fails if the version exists."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            fh.write(m.to_json())
-            fh.flush()
-            os.fsync(fh.fileno())
-        final = os.path.join(self.log_dir, f"v{m.version:012d}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {m.version} already committed") from e
-        finally:
-            os.unlink(tmp)
+        """Atomic single-winner commit (CommitIO.put_if_absent contract)."""
+        self.io.put_if_absent(
+            os.path.join(self.log_dir, f"v{m.version:012d}.json"), m.to_json())
 
     # ---------------------------------------------------------------- layout
 
@@ -140,11 +133,11 @@ class LakeTable:
         (df.repartition(F.col("_bucket"))
            .write.mode("errorifexists").partitionBy("_bucket").parquet(staged))
         entries = []
-        for d in os.listdir(staged):
+        for d in self.io.list_dir(staged):
             if not d.startswith("_bucket="):
                 continue
             b = int(d.split("=")[1])
-            for f in os.listdir(os.path.join(staged, d)):
+            for f in self.io.list_dir(os.path.join(staged, d)):
                 if f.endswith(".parquet"):
                     rel = os.path.relpath(os.path.join(staged, d, f), self.root)
                     entries.append({"path": rel, "bucket": b})
@@ -382,14 +375,13 @@ class LakeTable:
         live = {os.path.join(self.root, e["path"]) for e in m.files}
         removed = 0
         data_root = os.path.join(self.root, "data")
-        if not os.path.isdir(data_root):
+        if not self.io.is_dir(data_root):
             return 0
-        for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+        for dirpath, files in self.io.walk_files(data_root):
             for f in files:
                 p = os.path.join(dirpath, f)
                 if p not in live and (f.endswith(".parquet") or f.startswith(".") or f.startswith("_")):
-                    os.unlink(p)
+                    self.io.delete_file(p)
                     removed += 1
-            if not os.listdir(dirpath):
-                shutil.rmtree(dirpath, ignore_errors=True)
+            self.io.remove_dir_if_empty(dirpath)
         return removed

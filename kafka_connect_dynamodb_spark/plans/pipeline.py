@@ -15,6 +15,9 @@ from the Structured Streaming checkpoint.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import time
 from datetime import datetime, timezone
 from typing import Any, Callable
@@ -81,6 +84,91 @@ class CdcPipeline:
             # reference restarts a >19h snapshot (DynamoDBSourceTask.java:213-217)
             return self.init_sync(snapshot_df)
 
+        info.end_init_sync(count, int(self.clock() * 1000))
+        self.save_state(info)
+        return info
+
+    def init_sync_resumable(self, snapshot_path: str, *, n_chunks: int = 16,
+                            max_chunks_this_run: int | None = None,
+                            list_files: Callable[[str], list[str]] | None = None
+                            ) -> SourceInfo:
+        """INIT_SYNC with durable mid-snapshot resume (T9 companion).
+
+        The reference resumes a partial snapshot from the paged scan offset
+        it stored in ``exclusive_start_key`` (SourceInfo.java:115,
+        DynamoDBSourceTask.java:229-249). The Spark analog of a scan page is
+        a file range: the snapshot's files are listed once, deterministically
+        ordered, and split into ``n_chunks`` contiguous slices; each slice is
+        applied as an idempotent merge commit (source="init_sync",
+        batch_id=chunk index), so a killed 16-hour snapshot restarts from the
+        first unfinished chunk, not from zero. ``exclusive_start_key``
+        mirrors the progress for state-doc parity.
+
+        Each chunk reads ONLY its own files — resuming never rescans
+        completed ranges (unlike key-hash chunking, which would re-read the
+        whole snapshot per chunk). ``list_files`` swaps in an object-store
+        listing on a cluster; the default is a local glob.
+
+        ``max_chunks_this_run`` bounds work per invocation (test/ops hook for
+        budgeted runs); the returned state stays RUNNING until all chunks
+        commit.
+        """
+        lf = list_files or (lambda p: sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        files = lf(snapshot_path)
+        if not files:
+            raise FileNotFoundError(f"no snapshot files under {snapshot_path}")
+        n_chunks = min(n_chunks, len(files))
+        per = (len(files) + n_chunks - 1) // n_chunks
+        chunks = [files[i * per:(i + 1) * per] for i in range(n_chunks)]
+        chunks = [c for c in chunks if c]
+        n_chunks = len(chunks)
+
+        info = self.load_state()
+        resumable = (info.init_sync_state == InitSyncStatus.RUNNING
+                     and info.exclusive_start_key is not None
+                     and self.table.exists())
+        if resumable:
+            key = json.loads(info.exclusive_start_key)
+            elapsed_h = (self.clock() * 1000 - info.init_sync_start) / 3_600_000
+            if (key.get("n_chunks") != n_chunks
+                    or key.get("n_files") != len(files)
+                    or elapsed_h > INIT_SYNC_RESTART_HOURS):
+                # layout changed under us, or the snapshot ran past the
+                # stream-retention budget -> restart it (reference
+                # DynamoDBSourceTask.java:213-217)
+                resumable = False
+
+        if not resumable:
+            import shutil
+            shutil.rmtree(self.table.root, ignore_errors=True)
+            info = SourceInfo(table_name=self.table_name)
+            info.start_init_sync(int(self.clock() * 1000))
+            schema = self.spark.read.parquet(chunks[0][0]).schema
+            self.table.create_empty(self.spark, schema, list(KEY_FIELDS),
+                                    n_buckets=self.n_buckets,
+                                    table=self.table_name)
+            info.exclusive_start_key = json.dumps(
+                {"next_chunk": 0, "n_chunks": n_chunks, "n_files": len(files)})
+            self.save_state(info)
+
+        done = 0
+        next_chunk = self.table.last_committed("init_sync") + 1
+        from pyspark.sql import functions as F
+        for i in range(next_chunk, n_chunks):
+            if max_chunks_this_run is not None and done >= max_chunks_this_run:
+                return info
+            chunk_df = (self.spark.read.parquet(*chunks[i])
+                        .withColumn("_op", F.lit("r"))
+                        .withColumn("_seq", F.lit(0).cast("decimal(38,0)")))
+            self.table.merge(self.spark, chunk_df, batch_id=i,
+                             source="init_sync")
+            info.exclusive_start_key = json.dumps(
+                {"next_chunk": i + 1, "n_chunks": n_chunks,
+                 "n_files": len(files)})
+            self.save_state(info)
+            done += 1
+
+        count = self.table.read(self.spark).count()
         info.end_init_sync(count, int(self.clock() * 1000))
         self.save_state(info)
         return info
