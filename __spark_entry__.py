@@ -175,8 +175,10 @@ def q_q3_top_revenue_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # no broadcast hint on customer: it scales with SF (~15 GB at sf100);
+    # AQE/autoBroadcastJoinThreshold picks broadcast only while it fits
     joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+                .join(cust, orders.o_custkey == cust.c_custkey))
     rev = (joined.groupBy("l_orderkey")
                  .agg(F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")).alias("revenue")))
     return (rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
@@ -235,8 +237,10 @@ def q_q5_region_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # nation/region are FIXED-size dims (25/5 rows at any SF) -> safe explicit
+    # broadcasts; customer scales with SF, so AQE decides its join strategy.
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
            .filter(F.col("r_name") == "ASIA"))

@@ -23,6 +23,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough input partitions for CPU-heavy per-row stages.
+
+    A small parquet scan (one file under maxPartitionBytes) yields ONE task;
+    exploding it into millions of token/shingle rows then serializes all the
+    sha256/signature work on one core (measured 6x on the sf0.1 bench). When
+    the scan has fewer partitions than the session's default parallelism,
+    repartition the compact doc rows up front — a tiny shuffle that unlocks
+    N-way parallelism for the expensive downstream expressions. At real scale
+    inputs already arrive in many splits and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -89,8 +107,8 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     sh = word_shingles(F.col(text_col), 3) if use_words else \
         char_shingles(F.col(text_col), shingle_k)
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(sh, num_hashes).alias("sig"))
+    sig = fan_out(df).select(F.col(id_col).alias("id"),
+                             minhash_signature(sh, num_hashes).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(F.array(*[
@@ -168,8 +186,9 @@ def minhash_lsh_candidates_sha(df: DataFrame, *, id_col: str = "doc_id",
     formulation (:func:`minhash_signature_sha`) rebuilds the shingle array per
     hash function, which measured ~16x slower at 5k docs."""
     rows_per_band = num_hashes // bands
-    ex = df.select(F.col(id_col).alias("id"),
-                   F.explode(word_shingles(F.col(text_col), word_k)).alias("s"))
+    ex = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), word_k)).alias("s"))
     hashed = ex.select("id", *[
         F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256).alias(f"h{i}")
         for i in range(num_hashes)])
@@ -203,7 +222,8 @@ def simhash_bits(df: DataFrame, *, id_col: str = "doc_id",
     sha256(token); per-doc majority vote over all tokens. The signature is a
     ``bits``-char '0'/'1' string (no 64-bit integer ops, so the SQL oracle
     reproduces it exactly). Same aggregate shape as :func:`simhash64`."""
-    toks = (df.select(F.col(id_col).alias("id"),
+    toks = (fan_out(df)
+              .select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
               .withColumn("hx", F.sha2("t", 256)))
     votes = toks.groupBy("id").agg(*[
@@ -267,7 +287,8 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     Expressed as 64 aggregate bit-votes per document via explode + groupBy —
     partial aggregation keeps the shuffle at one row per (doc, 64 longs).
     """
-    toks = (df.select(F.col(id_col).alias("id"),
+    toks = (fan_out(df)
+              .select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
               .withColumn("h", F.xxhash64("t")))
     votes = toks.groupBy("id").agg(*[
