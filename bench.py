@@ -36,6 +36,8 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "knn_join_lsh",
 ]
 
 

@@ -1,0 +1,81 @@
+"""S1/S2/S4/T9: tag discovery, whitelist, rediscovery poll, init-sync start
+delay — the multi-table control plane over the single-table engine
+(DynamoDBSourceConnector.java:83-145, DynamoDBSourceConnectorConfig.java:18)."""
+
+from __future__ import annotations
+
+import os
+
+from kafka_connect_dynamodb_spark.plans.discovery import (
+    MultiTablePipeline, discover_tables)
+from kafka_connect_dynamodb_spark.sources.generator import (
+    DEFAULT_BASE_TS, change_events, source_table)
+
+BASE = DEFAULT_BASE_TS.timestamp()
+
+
+def _mk_table(spark, root, name, n_keys=60, n_events=200, tagged=True):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    if tagged:
+        open(os.path.join(d, "cdc_enabled"), "w").close()
+    source_table(spark, n_keys).write.mode("overwrite") \
+        .parquet(os.path.join(d, "snapshot"))
+    if n_events:
+        change_events(spark, n_keys, n_events, pre_init_frac=0.0) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "log"))
+
+
+def test_tag_discovery_skips_untagged(spark, tmp_path):
+    root = str(tmp_path / "src")
+    _mk_table(spark, root, "alpha", tagged=True)
+    _mk_table(spark, root, "beta", tagged=False)
+    specs = discover_tables(root)
+    assert [s.name for s in specs] == ["alpha"]
+
+
+def test_whitelist_overrides_tags(spark, tmp_path):
+    root = str(tmp_path / "src")
+    _mk_table(spark, root, "alpha", tagged=False)
+    _mk_table(spark, root, "beta", tagged=True)
+    specs = discover_tables(root, whitelist=["alpha"])
+    assert [s.name for s in specs] == ["alpha"]
+
+
+def test_rediscovery_picks_up_new_table(spark, tmp_path):
+    root = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _mk_table(spark, root, "alpha")
+
+    mt = MultiTablePipeline(spark, root, lake, n_buckets=4,
+                            clock=lambda: BASE)
+    assert mt.poll() == {"alpha": "synced"}
+    assert mt.read("alpha").count() > 0
+
+    # a table tagged AFTER the first poll joins on the next cycle (S4)
+    _mk_table(spark, root, "gamma")
+    statuses = mt.poll()
+    assert statuses == {"alpha": "synced", "gamma": "synced"}
+    assert mt.read("gamma").count() > 0
+    # re-polling an unchanged fleet applies nothing new (checkpointed tails)
+    before = {n: s["batches_applied"] for n, s in mt.statuses().items()}
+    mt.poll()
+    after = {n: s["batches_applied"] for n, s in mt.statuses().items()}
+    assert after == before
+
+
+def test_init_sync_start_delay_t9(spark, tmp_path):
+    root = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _mk_table(spark, root, "alpha", n_events=0)
+
+    now = {"t": BASE}
+    mt = MultiTablePipeline(spark, root, lake, n_buckets=4,
+                            init_sync_delay_s=60.0, clock=lambda: now["t"])
+    # within the delay window: discovered but NOT snapshotted yet
+    assert mt.poll() == {"alpha": "pending"}
+    assert not mt.table_for("alpha").exists()
+    # clock passes the delay -> INIT_SYNC runs
+    now["t"] = BASE + 61
+    assert mt.poll() == {"alpha": "synced"}
+    assert mt.read("alpha").count() == 60
