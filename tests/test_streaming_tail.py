@@ -205,6 +205,71 @@ def test_per_batch_clock_trips_danger_zone_midstream(spark, tmp_path):
     assert _hashes_of(table, spark) == _oracle(base, ev)
 
 
+def test_live_trigger_kill_restart_soak(spark, tmp_path):
+    """T4/T5/T6 under a LIVE processingTime trigger (not availableNow):
+    slices arrive while the query runs, the query is killed mid-stream,
+    a new query resumes the same checkpoint, and the final drain converges
+    to oracle parity with no duplicate application."""
+    import time as _time
+
+    base = source_table(spark, N_KEYS)
+    ev = change_events(spark, N_KEYS, N_EVENTS, pre_init_frac=0.0)
+    slices = [ev.filter(ev.seq_no % 3 == k) for k in range(3)]
+
+    log = str(tmp_path / "log")
+    cp = str(tmp_path / "cp")
+    table, _ = _pipeline(spark, tmp_path, base)
+
+    def _wait_applied(metrics, want, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if sum(m.get("rows_in", 0) for m in metrics
+                   if not m.get("skipped")) >= want:
+                return True
+            _time.sleep(0.2)
+        return False
+
+    # live session 1: slice 0 pre-exists, slice 1 arrives while running
+    slices[0].coalesce(1).write.mode("append").parquet(log)
+    m1: list[dict] = []
+    q = tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                        init_sync_start=DEFAULT_BASE_TS,
+                        available_now=False,
+                        processing_time="500 milliseconds", metrics=m1)
+    try:
+        assert _wait_applied(m1, 1)
+        slices[1].coalesce(1).write.mode("append").parquet(log)
+        deadline = _time.time() + 60
+        while len(m1) < 2 and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()   # kill mid-stream
+    v_mid = table.current_version()
+
+    # live session 2: resumes the same checkpoint; a third slice arrives
+    m2: list[dict] = []
+    q2 = tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                         init_sync_start=DEFAULT_BASE_TS,
+                         available_now=False,
+                         processing_time="500 milliseconds", metrics=m2)
+    try:
+        slices[2].coalesce(1).write.mode("append").parquet(log)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if any(not m.get("skipped") and m.get("rows_in", 0) > 0 for m in m2):
+                _time.sleep(1.0)   # let the trigger quiesce
+                break
+            _time.sleep(0.2)
+    finally:
+        q2.stop()
+    assert table.current_version() > v_mid
+
+    # final availableNow drain picks up anything still unread, then parity
+    tail.drain(tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                               init_sync_start=DEFAULT_BASE_TS))
+    assert _hashes_of(table, spark) == _oracle(base, ev)
+
+
 def test_stream_after_snapshot_drops_pre_init_events(spark, tmp_path):
     """F2 through the stream: events older than init_sync_start - 1h are
     dropped (covered by the snapshot), newer ones apply."""

@@ -176,6 +176,42 @@ def test_multimodal_features_with_fake_decoder(spark):
     assert [r.features for r in rows] == [r.features for r in again]
 
 
+def test_multimodal_resize_plumbing_with_fake_resizer(spark):
+    """resize_images' Arrow plumbing with a deterministic stand-in resizer:
+    bytes transform + metadata rewrite are real; only pixel math is faked."""
+    media = multimodal.synthetic_media(spark, 12)
+
+    def fake_resizer(blob: bytes, w: int, h: int) -> bytes:
+        return bytes([w % 256, h % 256]) + (blob or b"")[:8]
+
+    out = multimodal.resize_images(media, 128, 96, resizer=fake_resizer)
+    rows = out.orderBy("media_id").collect()
+    assert len(rows) == 12
+    assert all(r.meta.width == 128 and r.meta.height == 96 for r in rows)
+    assert all(bytes(r.content)[:2] == bytes([128, 96]) for r in rows)
+    # untouched metadata fields survive the rewrite
+    assert all(r.meta.codec == "synthetic" for r in rows)
+
+
+def test_multimodal_frame_sampling_with_fake_sampler(spark):
+    """sample_frames' explode-shaped mapInPandas: one output row per sampled
+    frame, frame_idx dense from 0, per-row fanout driven by the sampler."""
+    media = multimodal.synthetic_media(spark, 5, kind="video")
+
+    def fake_sampler(blob: bytes, every_ms: int) -> list[bytes]:
+        n = (blob or b"\x00")[0] % 3 + 1   # 1..3 frames, deterministic
+        return [bytes([i]) + blob[:4] for i in range(n)]
+
+    out = multimodal.sample_frames(media, 1000, sampler=fake_sampler)
+    rows = out.orderBy("media_id", "frame_idx").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(per) == set(range(5))
+    for idxs in per.values():
+        assert idxs == list(range(len(idxs))) and 1 <= len(idxs) <= 3
+
+
 def test_multimodal_stub_raises_without_codec(spark):
     media = multimodal.synthetic_media(spark, 2)
     with pytest.raises(Exception) as ei:
