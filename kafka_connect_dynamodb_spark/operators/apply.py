@@ -176,8 +176,11 @@ def apply_batch(spark: SparkSession, table: LakeTable, df: DataFrame, *,
         df = df.observe(obs, F.min("ts").alias("min_ts"))
     winners = prepare_winners(df, init_sync_start=init_sync_start).persist()
     try:
-        winners.count()  # materialize the single events pass + the observation
         if obs is not None:
+            # materialize the single events pass so the observation resolves
+            # BEFORE merge work; with no danger check armed, the first
+            # downstream action materializes the cache instead (no extra job)
+            winners.count()
             min_ts = obs.get.get("min_ts")
             if min_ts is not None and min_ts <= filters.danger_cutoff(now):
                 raise DangerZoneError(
