@@ -329,6 +329,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                  .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b"))
 
 
+def q_minhash_jaccard_verified(spark, sf_dir):
+    """Full two-stage near-dup pipeline: MinHash-LSH candidate generation ->
+    exact n-gram Jaccard verification over ONLY the candidates (semi-join
+    pruned) — the shape a 100 TB dedup run uses end-to-end."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        jaccard_verify, minhash_lsh_candidates_sha)
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates_sha(docs)
+    return (jaccard_verify(docs, cands, use_words=True, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 def q_simhash_signatures(spark, sf_dir):
     """Portable 64-bit SimHash signature per document (bitstring form)."""
     from kafka_connect_dynamodb_spark.operators.dedup import simhash_bits
@@ -552,7 +564,7 @@ def q_multimodal_features(spark, sf_dir):
 # Generated oracle SQL (hash pipelines inlined so DuckDB reproduces bits)
 # --------------------------------------------------------------------------
 
-def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
+def _minhash_ctes(num_hashes=16, bands=4, max_bucket=50) -> str:
     rows = num_hashes // bands
     mins = ",\n                   ".join(
         f"list_aggregate(list_transform(sh, s -> sha256('{i}:' || s)), 'min') AS m{i}"
@@ -571,10 +583,29 @@ def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
             buckets AS (SELECT band, bh FROM bands GROUP BY band, bh
                         HAVING count(*) > 1 AND count(*) <= {max_bucket}),
             bm AS (SELECT bands.band, bands.bh, bands.doc_id
-                   FROM bands JOIN buckets USING (band, bh))
+                   FROM bands JOIN buckets USING (band, bh))"""
+
+
+def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
+    return f"""{_minhash_ctes(num_hashes, bands, max_bucket)}
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bm a JOIN bm b USING (band, bh)
             WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+
+
+def _minhash_jaccard_oracle(threshold=0.5, num_hashes=16, bands=4,
+                            max_bucket=50) -> str:
+    jac = ("CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
+           "/ len(list_distinct(list_concat(x.sh, y.sh)))")
+    return f"""{_minhash_ctes(num_hashes, bands, max_bucket)},
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bm a JOIN bm b USING (band, bh)
+                     WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, {jac} AS jaccard
+            FROM cand JOIN sh x ON x.doc_id = cand.id_a
+                      JOIN sh y ON y.doc_id = cand.id_b
+            WHERE {jac} >= {threshold}
+            ORDER BY id_a, id_b"""
 
 
 _SIMHASH_CTE = f"""
@@ -728,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+        "minhash_jaccard_verified": q_minhash_jaccard_verified,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_signatures": q_simhash_signatures,
         "simhash_near_dups": q_simhash_near_dups,
@@ -876,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
                        / len(toks) AS stopword_ratio
             FROM t ORDER BY doc_id""",
         "minhash_lsh_near_dups": _minhash_oracle(),
+        "minhash_jaccard_verified": _minhash_jaccard_oracle(),
         "ngram_jaccard_pairs": f"""
             WITH t0 AS (SELECT doc_id, substr(text, 1, 16) AS b,
                                list_distinct({_TOKS_SQL}) AS tk FROM documents),

@@ -103,9 +103,69 @@ def _query_signature(vec: list[float], planes: int, seed: int) -> int:
 
 
 def ivf_centroid(cell: int, dim: int, seed: int = 7) -> list[float]:
-    """Deterministic pseudo-random IVF centroid (stand-in for k-means-trained
-    centroids, which a real pipeline would fit on a sample and broadcast)."""
+    """Deterministic pseudo-random IVF centroid — the SQL-reproducible
+    variant the correctness oracle uses; production fits real centroids
+    with :func:`kmeans_fit` and passes them via ``ivf_topk(centroids=...)``."""
     return [_unit_component(seed, cell, d) for d in range(dim)]
+
+
+def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", iters: int = 5,
+               sample_fraction: float | None = None) -> list[list[float]]:
+    """Lloyd's k-means for IVF coarse quantization, Spark-side.
+
+    Deterministic: init is farthest-point traversal (the greedy k-means++
+    variant) seeded at the vector with the smallest ``xxhash64(id)`` —
+    separated clusters each get a seed, avoiding Lloyd's same-cluster
+    double-seed local optimum; each iteration assigns via :func:`ivf_assign`
+    (codegen'd argmin) and computes element-wise means with posexplode +
+    groupBy — the only driver traffic is k*dim aggregate rows per iteration
+    (plus one k-row TakeOrdered per seed during init). ``sample_fraction``
+    fits on a deterministic hash-sample (at 100 TB you fit on ~1e6 vectors,
+    never the full table, then broadcast the k*dim floats into the assign
+    expression). Empty cells keep their previous centroid.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        # deterministic hash-sample, independent of partitioning
+        bound = int(sample_fraction * (1 << 32))
+        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(1 << 32)) < bound)
+    v = v.persist()
+    try:
+        if v.count() < k:
+            raise ValueError(f"need >= {k} vectors to fit {k} cells")
+        first = v.orderBy(F.xxhash64("id"), "id").limit(1).collect()[0]["v"]
+        cents = [list(first)]
+        while len(cents) < k:
+            d2s = []
+            for c in cents:
+                carr = F.array(*[F.lit(float(x)) for x in c])
+                d2s.append(F.aggregate(
+                    F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+            far = (v.select("id", "v",
+                            F.array_min(F.array(*d2s)).alias("_d"))
+                    .orderBy(F.col("_d").desc(), "id").limit(1).collect())
+            cents.append(list(far[0]["v"]))
+        for _ in range(iters):
+            assigned = v.withColumn("_cell", ivf_assign(F.col("v"), cents))
+            stats = (assigned.select("_cell", F.posexplode("v"))
+                             .groupBy("_cell", "pos")
+                             .agg(F.sum("col").alias("s"),
+                                  F.count("*").alias("n"))
+                             .collect())
+            acc: dict[int, list[float]] = {}
+            cnt: dict[int, int] = {}
+            for r in stats:
+                cell = r["_cell"] - 1            # ivf_assign is 1-based
+                acc.setdefault(cell, [0.0] * len(cents[0]))[r["pos"]] = r["s"]
+                cnt[cell] = r["n"]
+            cents = [[x / cnt[c] for x in acc[c]] if c in cnt else cents[c]
+                     for c in range(k)]
+    finally:
+        v.unpersist()
+    return cents
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
@@ -123,17 +183,22 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_cells: int = 8, nprobe: int = 2, seed: int = 7) -> DataFrame:
+             n_cells: int = 8, nprobe: int = 2, seed: int = 7,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: coarse-quantize vectors into ``n_cells``
     inverted lists, probe the ``nprobe`` cells nearest the query, exact
     cosine inside probed cells.
 
     At scale the cell id is precomputed and the table partitioned/bucketed by
-    it, so a probe is a partition-pruned scan of ~nprobe/n_cells of the data;
-    centroids come from a k-means fit instead of this deterministic stub.
+    it, so a probe is a partition-pruned scan of ~nprobe/n_cells of the data.
+    Pass ``centroids`` from :func:`kmeans_fit` for data-adaptive cells (the
+    production path); the default deterministic stub centroids exist so the
+    SQL oracle can reproduce the query bit-for-bit.
     """
     dim = len(query_vec)
-    cents = [ivf_centroid(c, dim, seed) for c in range(n_cells)]
+    cents = (centroids if centroids is not None
+             else [ivf_centroid(c, dim, seed) for c in range(n_cells)])
+    n_cells = len(cents)
     # query's probe cells, same arithmetic order as the column fold
     qd = [(sum_sq, i + 1) for i, sum_sq in enumerate(
         [_py_l2(query_vec, c) for c in cents])]

@@ -115,6 +115,48 @@ def test_knn_join_lsh_recall_vs_bruteforce(spark):
     assert hits >= 5
 
 
+def test_kmeans_fit_recovers_clusters_and_boosts_ivf(spark):
+    """kmeans_fit on 3 well-separated gaussian clusters: every cluster maps
+    to one cell, and IVF with the fitted centroids at nprobe=1 returns the
+    exact brute-force top-5 (the probed cell contains the true neighbors)."""
+    import random
+    rnd = random.Random(3)
+    centers = [[6.0] * 8, [-6.0] * 8, [6.0] * 4 + [-6.0] * 4]
+    rows = []
+    for i in range(240):
+        c = centers[i % 3]
+        rows.append((i, [x + rnd.gauss(0, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.kmeans_fit(df, 3, iters=4)
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+    assigned = df.withColumn(
+        "_cell", similarity.ivf_assign(
+            df.embedding.cast("array<double>"), cents))
+    cell_of = {r.vec_id: r._cell for r in assigned.collect()}
+    for k in range(3):
+        cells = {cell_of[i] for i in range(240) if i % 3 == k}
+        assert len(cells) == 1, f"cluster {k} split across cells {cells}"
+    assert {cell_of[0], cell_of[1], cell_of[2]} == set(cell_of.values())
+
+    q = centers[1]
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    fitted = [r.vec_id for r in similarity.ivf_topk(
+        df, q, k=5, nprobe=1, centroids=cents).collect()]
+    assert fitted == exact
+
+
+def test_kmeans_fit_deterministic_sample(spark):
+    import random
+    rnd = random.Random(9)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = similarity.kmeans_fit(df, 4, iters=2, sample_fraction=0.5)
+    c2 = similarity.kmeans_fit(df.repartition(7), 4, iters=2,
+                               sample_fraction=0.5)
+    assert c1 == c2   # hash-sample + seeded init: partitioning-independent
+
+
 def test_embedding_near_dup_bucket_cap_drops_degenerate_bucket(spark):
     # 30 identical vectors all land in one LSH bucket; with the cap below the
     # bucket size every pair is pruned, with a larger cap they all survive.
