@@ -157,6 +157,41 @@ def test_kmeans_fit_deterministic_sample(spark):
     assert c1 == c2   # hash-sample + seeded init: partitioning-independent
 
 
+def test_pq_roundtrip_recall(spark):
+    """PQ fit -> encode -> ADC top-k: on separated clusters the compressed
+    scan must retrieve the true nearest cluster's members; codes are m
+    small ints (the 32x storage story), and re-ranking the ADC short list
+    exactly recovers the brute-force top-5."""
+    import random
+    rnd = random.Random(21)
+    centers = [[5.0] * 16, [-5.0] * 16, [5.0] * 8 + [-5.0] * 8]
+    rows = [(i, [x + rnd.gauss(0, 0.4) for x in centers[i % 3]])
+            for i in range(180)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = similarity.pq_fit(df, m=4, n_codes=4, iters=3)
+    assert len(books) == 4 and all(len(b) == 4 and len(b[0]) == 4
+                                   for b in books)
+    codes = similarity.pq_encode(df, books)
+    first = codes.first()
+    assert len(first.pq_code) == 4
+    assert all(1 <= c <= 4 for c in first.pq_code)
+
+    # shortlist covers the full 60-member cluster: within a cluster all rows
+    # share one code, so ADC cannot (and need not) order inside it
+    q = centers[2]
+    short = similarity.pq_topk(codes, books, q, k=60)
+    short_ids = [r.vec_id for r in short.collect()]
+    # every short-listed id belongs to the query's cluster
+    assert all(i % 3 == 2 for i in short_ids)
+    # exact re-rank of the short list == brute-force top-5
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    rerank = df.join(spark.createDataFrame([(i,) for i in short_ids],
+                                           "vec_id long"), "vec_id")
+    rr = [r.vec_id for r in similarity.brute_force_topk(rerank, q, k=5).collect()]
+    assert rr == exact
+
+
 def test_embedding_near_dup_bucket_cap_drops_degenerate_bucket(spark):
     # 30 identical vectors all land in one LSH bucket; with the cap below the
     # bucket size every pair is pruned, with a larger cap they all survive.
