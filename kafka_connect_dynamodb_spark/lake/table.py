@@ -60,6 +60,7 @@ class Manifest:
     committed: dict[str, int] = field(default_factory=dict)     # source -> last batch_id
     properties: dict[str, Any] = field(default_factory=dict)    # free-form (state doc etc.)
     lineage: list[dict[str, Any]] = field(default_factory=list) # recent commit metrics
+    change_files: list[dict[str, Any]] = field(default_factory=list)  # {version, path}
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -81,10 +82,16 @@ class LakeTable:
     per-store atomicity contract.
     """
 
-    def __init__(self, root: str, io: CommitIO | None = None):
+    def __init__(self, root: str, io: CommitIO | None = None, *,
+                 change_feed: bool = False):
+        """``change_feed=True`` makes every MERGE also publish its compacted
+        per-commit delta (the LWW winners it applied) under ``changes/`` —
+        the engine's CDC-OUT surface, mirroring the reference's table->event
+        emission direction; read back with :meth:`changes`."""
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.io = io if io is not None else PosixCommitIO()
+        self.change_feed = change_feed
 
     # ------------------------------------------------------------------ log
 
@@ -285,12 +292,24 @@ class LakeTable:
             ).withColumn("_bucket", self._bucket_expr(keys, m.n_buckets))
 
             version = m.version + 1
+            change_entry: list[dict[str, Any]] = []
+            if self.change_feed:
+                # CDC-OUT: publish this commit's compacted delta (the LWW
+                # winners as submitted, deletes as _op='d' tombstone rows).
+                # Cost is one extra write of ~|keys| rows — the winners are
+                # already cached by apply_batch, no extra source pass.
+                rel = os.path.join("changes", f"c{version:012d}.parquet")
+                (upd.drop("_bucket", "_deleted")
+                    .write.mode("errorifexists")
+                    .parquet(os.path.join(self.root, rel)))
+                change_entry = [{"version": version, "path": rel}]
             new_entries = self._write_bucketed(merged, version)
             new_m = self._advance(
                 m, keep_entries + new_entries, batch_id, source,
                 {"op": "merge", "rows_in": n_upd, "buckets_touched": len(touched),
                  "files_rewritten": len(tgt_entries), "files_written": len(new_entries)},
-                evolved if new_fields else None, version)
+                evolved if new_fields else None, version,
+                change_files=change_entry)
             return {"skipped": False, "batch_id": batch_id, "rows_in": n_upd,
                     "buckets_touched": len(touched), "version": new_m.version}
         finally:
@@ -298,7 +317,8 @@ class LakeTable:
 
     def _advance(self, m: Manifest, files, batch_id, source,
                  lineage_entry: dict[str, Any], evolved: T.StructType | None = None,
-                 version: int | None = None) -> Manifest:
+                 version: int | None = None,
+                 change_files: list[dict[str, Any]] | None = None) -> Manifest:
         version = version if version is not None else m.version + 1
         committed = dict(m.committed)
         if batch_id is not None:
@@ -310,9 +330,37 @@ class LakeTable:
             n_buckets=m.n_buckets,
             schema_json=json.dumps(evolved.jsonValue()) if evolved is not None else m.schema_json,
             files=files, committed=committed, properties=m.properties,
-            lineage=(m.lineage + [lineage_entry])[-50:])
+            lineage=(m.lineage + [lineage_entry])[-50:],
+            change_files=m.change_files + (change_files or []))
         self._commit(new_m)
         return new_m
+
+    # ------------------------------------------------------------ change feed
+
+    def changes(self, spark: SparkSession, *, from_version: int = 1,
+                to_version: int | None = None) -> DataFrame:
+        """Read the change feed: one row per applied LWW winner per commit
+        (columns: keys + payload + _op + _seq + _commit), commits in
+        [from_version, to_version]. Downstream incremental consumers replay
+        it with max-seq-per-key LWW; replay(snapshot + feed) reproduces
+        ``read()`` exactly (pinned by tests) — the engine's table->event
+        direction, mirroring the reference connector's Kafka emission."""
+        m = self.manifest(to_version)
+        out = None
+        for e in m.change_files:
+            if e["version"] < from_version:
+                continue
+            df = (spark.read.parquet(os.path.join(self.root, e["path"]))
+                       .withColumn("_commit", F.lit(e["version"]).cast("long")))
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True)
+        if out is not None:
+            return out
+        fields = [f for f in m.schema().fields if f.name != "_deleted"]
+        schema = T.StructType(fields + [
+            T.StructField("_op", T.StringType(), True),
+            T.StructField("_commit", T.LongType(), True)])
+        return spark.createDataFrame([], schema)
 
     # ------------------------------------------------------------- properties
 
@@ -324,7 +372,8 @@ class LakeTable:
                          n_buckets=m.n_buckets, schema_json=m.schema_json,
                          files=m.files, committed=m.committed,
                          properties={**m.properties, **props},
-                         lineage=(m.lineage + [{"commit": m.version + 1, "op": "props"}])[-50:])
+                         lineage=(m.lineage + [{"commit": m.version + 1, "op": "props"}])[-50:],
+                         change_files=m.change_files)
         self._commit(new_m)
         return new_m
 
