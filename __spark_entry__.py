@@ -391,6 +391,26 @@ def q_doc_quality_full(spark, sf_dir):
         "punct_ratio", "unique_token_ratio", "quality_score").orderBy("doc_id")
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end training-corpus cleanup as ONE declarative pipeline:
+    keep the canonical copy per normalized content hash (exact dedup),
+    require quality_score >= 0.2 and marker-vote language agreeing with the
+    labeled language. Each stage is its own oracle-checked operator; this
+    entry checks their composition."""
+    from kafka_connect_dynamodb_spark.operators.dedup import exact_duplicates
+    from kafka_connect_dynamodb_spark.operators.text import (
+        lang_id, quality_features)
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    q = quality_features(docs).select("doc_id", "quality_score")
+    lg = lang_id(docs).select("doc_id", "lang", "lang_pred")
+    return (keep.join(q, "doc_id").join(lg, "doc_id")
+                .filter((F.col("quality_score") >= 0.2)
+                        & (F.col("lang_pred") == F.col("lang")))
+                .select("doc_id", "quality_score", "lang_pred")
+                .orderBy("doc_id"))
+
+
 def q_doc_content_sha(spark, sf_dir):
     """The per-row parity invariant itself: sha256(content) per doc (X9)."""
     docs = _t(spark, sf_dir, "documents")
@@ -719,6 +739,67 @@ def _knn_lsh_oracle(k: int) -> str:
             ORDER BY qid, rk"""
 
 
+_LANG_SQL = f"""
+            WITH t AS (SELECT doc_id, lang, text,
+                              list_transform({_TOKS_SQL}, x -> lower(x)) AS tl
+                       FROM documents),
+            v AS (SELECT doc_id, lang,
+                    len(list_filter(tl, x -> x IN ('the','and','of','to','is','in','that','it'))) AS v_en,
+                    len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS v_de,
+                    len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','que','pour'))) AS v_fr,
+                    len(list_filter(tl, x -> x IN ('el','la','los','y','es','una','que','por'))) AS v_es,
+                    regexp_matches(text, '[一-鿿]') AS cjk
+                  FROM t)
+            SELECT doc_id, lang AS lang_true,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+                        WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+                        WHEN v_fr >= v_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM v ORDER BY doc_id"""
+
+
+_QUALITY_SQL = f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            f AS (SELECT doc_id,
+                    len(toks) AS n_tokens,
+                    length(text) AS n_chars,
+                    CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(len(list_filter(toks, x -> lower(x) IN
+                        ('the','and','of','to','is','in','that','it'))) AS DOUBLE)
+                        / len(toks) AS stopword_ratio,
+                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_token_ratio
+                  FROM t)
+            SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio,
+                   punct_ratio, unique_token_ratio,
+                   (CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END)
+                   * least(unique_token_ratio * 2, 1.0)
+                   * (1.0 - least(punct_ratio * 3, 1.0))
+                   * least(stopword_ratio * 5 + 0.2, 1.0) AS quality_score
+            FROM f ORDER BY doc_id"""
+
+
+# End-to-end corpus cleanup: canonical copy (normalized-hash dedup) AND
+# quality gate AND language consistency — one declarative pipeline
+# (DuckDB supports nested WITH inside CTE bodies, so the per-stage oracles
+# compose verbatim).
+_CORPUS_CLEAN_SQL = f"""
+            WITH q AS ({_QUALITY_SQL}),
+            l AS ({_LANG_SQL}),
+            norm AS (SELECT doc_id,
+                            sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+                     FROM documents),
+            keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h)
+            SELECT q.doc_id, q.quality_score, l.lang_pred
+            FROM keep
+              JOIN q ON q.doc_id = keep.doc_id
+              JOIN l ON l.doc_id = keep.doc_id
+            WHERE q.quality_score >= 0.2 AND l.lang_pred = l.lang_true
+            ORDER BY q.doc_id"""
+
+
 def _u16_le_sql(hx: str, i: int) -> str:
     """Little-endian uint16 at byte offset 2*i of a lowercase-hex digest —
     the SQL mirror of fake_decoder's np.frombuffer(h, dtype=np.uint16)."""
@@ -767,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "bpe_token_count": q_bpe_token_count,
         "doc_quality_full": q_doc_quality_full,
+        "corpus_clean": q_corpus_clean,
         "doc_content_sha": q_doc_content_sha,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
@@ -954,50 +1036,14 @@ def oracle_sql() -> dict[str, str]:
                        list_slice(list_sort(list_distinct(grams)), 1, 8), ','))
                      AS fingerprint
             FROM g ORDER BY doc_id""",
-        "lang_id_docs": f"""
-            WITH t AS (SELECT doc_id, lang, text,
-                              list_transform({_TOKS_SQL}, x -> lower(x)) AS tl
-                       FROM documents),
-            v AS (SELECT doc_id, lang,
-                    len(list_filter(tl, x -> x IN ('the','and','of','to','is','in','that','it'))) AS v_en,
-                    len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS v_de,
-                    len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','que','pour'))) AS v_fr,
-                    len(list_filter(tl, x -> x IN ('el','la','los','y','es','una','que','por'))) AS v_es,
-                    regexp_matches(text, '[一-鿿]') AS cjk
-                  FROM t)
-            SELECT doc_id, lang AS lang_true,
-                   CASE WHEN cjk THEN 'zh'
-                        WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
-                        WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
-                        WHEN v_fr >= v_es THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-            FROM v ORDER BY doc_id""",
+        "lang_id_docs": _LANG_SQL,
+        "doc_quality_full": _QUALITY_SQL,
         "bpe_token_count": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^\\sA-Za-z0-9]'))
                      AS n_bpe_tokens,
                    len({_TOKS_SQL}) AS n_ws_tokens
             FROM documents ORDER BY doc_id""",
-        "doc_quality_full": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
-            f AS (SELECT doc_id,
-                    len(toks) AS n_tokens,
-                    length(text) AS n_chars,
-                    CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len,
-                    CAST(len(list_filter(toks, x -> lower(x) IN
-                        ('the','and','of','to','is','in','that','it'))) AS DOUBLE)
-                        / len(toks) AS stopword_ratio,
-                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                        AS DOUBLE) / length(text) AS punct_ratio,
-                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_token_ratio
-                  FROM t)
-            SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio,
-                   punct_ratio, unique_token_ratio,
-                   (CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END)
-                   * least(unique_token_ratio * 2, 1.0)
-                   * (1.0 - least(punct_ratio * 3, 1.0))
-                   * least(stopword_ratio * 5 + 0.2, 1.0) AS quality_score
-            FROM f ORDER BY doc_id""",
         "doc_content_sha": """
             SELECT doc_id, sha256(text) AS content_sha
             FROM documents ORDER BY doc_id""",
@@ -1046,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "embedding_near_dup_pairs": _near_dup_lsh_oracle(0.36, 200),
         "knn_join_lsh": _knn_lsh_oracle(3),
+        "corpus_clean": _CORPUS_CLEAN_SQL,
     }
 
 
