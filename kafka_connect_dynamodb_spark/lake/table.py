@@ -356,11 +356,30 @@ class LakeTable:
                 df, allowMissingColumns=True)
         if out is not None:
             return out
+        return spark.createDataFrame([], self._feed_schema(m))
+
+    def _feed_schema(self, m: Manifest, *, with_commit: bool = True) -> T.StructType:
         fields = [f for f in m.schema().fields if f.name != "_deleted"]
-        schema = T.StructType(fields + [
-            T.StructField("_op", T.StringType(), True),
-            T.StructField("_commit", T.LongType(), True)])
-        return spark.createDataFrame([], schema)
+        fields = fields + [T.StructField("_op", T.StringType(), True)]
+        if with_commit:
+            fields.append(T.StructField("_commit", T.LongType(), True))
+        return T.StructType(fields)
+
+    def stream_changes(self, spark: SparkSession,
+                       **reader_options: str) -> DataFrame:
+        """Subscribe to the change feed as a Structured Streaming source:
+        every future merge commit's delta file becomes a micro-batch for
+        downstream incremental consumers (the subscription analog of the
+        reference's Kafka topic). Schema is the CURRENT evolved feed schema;
+        older files read missing columns as null. Pair with a checkpoint on
+        the consumer side for exactly-once downstream processing."""
+        reader = (spark.readStream
+                  .schema(self._feed_schema(self.manifest(), with_commit=False))
+                  # each commit's delta is a c{version}.parquet directory
+                  .option("recursiveFileLookup", "true"))
+        for k, v in reader_options.items():
+            reader = reader.option(k, v)
+        return reader.parquet(os.path.join(self.root, "changes"))
 
     # ------------------------------------------------------------- properties
 

@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--base-ts", default=None,
                     help="logical 'now' (ISO date) for replaying historical logs")
+    ap.add_argument("--resumable-chunks", type=int, default=0,
+                    help="run INIT_SYNC as N resumable file chunks (a killed "
+                         "snapshot restarts from the first unfinished chunk)")
+    ap.add_argument("--change-feed", action="store_true",
+                    help="publish per-commit compacted deltas under changes/")
     args = ap.parse_args(argv)
 
     from kafka_connect_dynamodb_spark.plans.pipeline import CdcPipeline
@@ -57,13 +62,17 @@ def main(argv: list[str] | None = None) -> int:
         clock = lambda: fixed.timestamp()  # noqa: E731
 
     spark = get_spark("cdc-replay")
-    table = LakeTable(args.table)
+    table = LakeTable(args.table, change_feed=args.change_feed)
     pipe = CdcPipeline(spark, table, n_buckets=args.buckets,
                        **({"clock": clock} if clock else {}))
 
     info = pipe.load_state()
     if info.init_sync_state != InitSyncStatus.FINISHED:
-        info = pipe.init_sync(spark.read.parquet(args.snapshot))
+        if args.resumable_chunks > 0:
+            info = pipe.init_sync_resumable(args.snapshot,
+                                            n_chunks=args.resumable_chunks)
+        else:
+            info = pipe.init_sync(spark.read.parquet(args.snapshot))
         print(f"INIT_SYNC done: {info.init_sync_count} rows", flush=True)
 
     # Danger-zone clock (F3): evaluated per micro-batch. --base-ts pins the

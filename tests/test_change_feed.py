@@ -78,6 +78,30 @@ def test_change_feed_version_range_and_default_off(spark, tmp_path):
         == {fed.current_version()}
 
 
+def test_stream_changes_subscription(spark, tmp_path):
+    """Downstream consumers can SUBSCRIBE to the feed: a streaming read over
+    changes/ sees every commit's delta exactly once per checkpoint."""
+    base = source_table(spark, 80)
+    ev = change_events(spark, 80, 400, pre_init_frac=0.0)
+    table = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    pipe.sync_batch(ev.filter(ev.seq_no % 2 == 0), 0)
+    pipe.sync_batch(ev.filter(ev.seq_no % 2 == 1), 1)
+
+    out_dir = str(tmp_path / "consumed")
+    q = (table.stream_changes(spark)
+              .writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", str(tmp_path / "cp"))
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    consumed = spark.read.parquet(out_dir)
+    assert consumed.count() == table.changes(spark).count()
+    assert {"repo", "path", "_op", "_seq"} <= set(consumed.columns)
+
+
 def test_change_feed_carries_evolved_columns(spark, tmp_path):
     base = source_table(spark, 60)
     ev = change_events(spark, 60, 300, pre_init_frac=0.0, evolve_frac=0.4)
