@@ -31,6 +31,22 @@ def test_decode_stringifies_n_keys(spark):
     assert out.repo == "2" and isinstance(out.repo, str)
 
 
+def test_fast_path_tolerates_exotic_typed_neighbors(spark):
+    """An attribute typed m/l/ss (reference keeps these only inside the
+    document JSON text, never as schema) must decode to NULL on the fast
+    path WITHOUT corrupting sibling attributes — the columnar analog of the
+    reference's permissive per-record skip (F5)."""
+    raw = json.dumps({"repo": {"s": "r1"}, "path": {"s": "p"},
+                      "commit": {"m": {"x": {"n": "1"}}},   # exotic: map-typed
+                      "lang": {"ss": ["a", "b"]},           # exotic: string set
+                      "content": {"s": "body"}})
+    df = spark.createDataFrame([(raw,)], "new_image string")
+    out = df
+    out = env.decode_payload(out).select(*env.PAYLOAD_FIELDS).collect()[0]
+    assert out.repo == "r1" and out.path == "p" and out.content == "body"
+    assert out.commit is None and out.lang is None
+
+
 def test_encode_roundtrip(spark):
     df = spark.createDataFrame(
         [("r1", "p1", "abc", "py", "x=1")],
