@@ -19,7 +19,9 @@ Methodology (the sandbox is a shared-host microVM with 2-3x wall jitter):
 * executor shuffle dirs are tmpfs (SPARK_LOCAL_DIRS), standing in for
   per-node NVMe.
 
-Writes BENCH/BASELINE.md and prints a JSON summary.
+Writes BENCH/scaling_run_latest.md (raw campaign report) and prints a
+JSON summary; BENCH/BASELINE.md is the curated multi-campaign evidence and
+is maintained by hand so an accidental contended run cannot clobber it.
 
 Usage: python bench/scaling.py [events] [keys] [n_low] [n_high] [trials]
 """
@@ -156,8 +158,8 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+    with open(os.path.join(REPO, "BENCH", "scaling_run_latest.md"), "w") as fh:
+        fh.write(f"""# BENCH/scaling_run_latest.md — raw scaling campaign report
 
 The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
 executors. No multi-node cluster exists in this sandbox, so the identical job
