@@ -61,6 +61,7 @@ class Manifest:
     properties: dict[str, Any] = field(default_factory=dict)    # free-form (state doc etc.)
     lineage: list[dict[str, Any]] = field(default_factory=list) # recent commit metrics
     change_files: list[dict[str, Any]] = field(default_factory=list)  # {version, path}
+    committed_at_ms: int = 0               # wall-clock commit stamp (AS OF reads)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -121,6 +122,9 @@ class LakeTable:
 
     def _commit(self, m: Manifest) -> None:
         """Atomic single-winner commit (CommitIO.put_if_absent contract)."""
+        import time
+        if not m.committed_at_ms:
+            m.committed_at_ms = int(time.time() * 1000)
         self.io.put_if_absent(
             os.path.join(self.log_dir, f"v{m.version:012d}.json"), m.to_json())
 
@@ -203,6 +207,43 @@ class LakeTable:
         df = self._read_files(spark, m.schema(), m.files)
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))
+        if not include_meta:
+            df = df.drop(*META_COLS)
+        return df
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Latest version committed at or before ``ts_ms`` (AS OF reads)."""
+        best = None
+        for v in self._versions():
+            if self.manifest(v).committed_at_ms <= ts_ms:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts_ms} in {self.log_dir}")
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_ms: int, **kw) -> DataFrame:
+        """Time travel by wall-clock: read the table as it was at ``ts_ms``."""
+        return self.read(spark, version=self.version_as_of(ts_ms), **kw)
+
+    def read_key(self, spark: SparkSession, key_values: dict[str, Any], *,
+                 include_meta: bool = False) -> DataFrame:
+        """Bucket-pruned point lookup: compute the key's hash bucket on the
+        driver (one 1-row job) and scan ONLY that bucket's files —
+        1/n_buckets of the table instead of a full scan; at 100 TB / 4096
+        buckets a lookup touches ~25 GB of files, further cut by parquet
+        row-group stats on the key columns inside the bucket."""
+        m = self.manifest()
+        if set(key_values) != set(m.key_cols):
+            raise ValueError(f"need exactly keys {m.key_cols}")
+        bucket = spark.range(1).select(
+            F.pmod(F.xxhash64(*[F.lit(key_values[c]) for c in m.key_cols]),
+                   F.lit(m.n_buckets)).cast("int").alias("b")).collect()[0]["b"]
+        entries = [e for e in m.files if e["bucket"] == bucket]
+        df = self._read_files(spark, m.schema(), entries)
+        for c in m.key_cols:
+            df = df.filter(F.col(c) == F.lit(key_values[c]))
+        df = df.filter(~F.col("_deleted"))
         if not include_meta:
             df = df.drop(*META_COLS)
         return df
@@ -435,6 +476,18 @@ class LakeTable:
         if not targets:
             return None
         return self.compact(spark, target_buckets=targets)
+
+    def expire_versions(self, *, keep_last: int = 10) -> int:
+        """Snapshot expiry: drop manifest files older than the newest
+        ``keep_last`` versions (time travel to them stops working; their
+        now-unreferenced data files become :meth:`vacuum` targets). Returns
+        the number of manifests removed. The CURRENT version is never
+        touched."""
+        vs = self._versions()
+        victims = vs[:-keep_last] if keep_last > 0 else vs[:-1]
+        for v in victims:
+            self.io.delete_file(os.path.join(self.log_dir, f"v{v:012d}.json"))
+        return len(victims)
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current manifest. Returns

@@ -85,3 +85,56 @@ def test_danger_zone_resync_through_stream(spark, tmp_path):
                    init_sync_start=start)
     assert _hashes_of(table, spark) == final_hashes(state)
     assert info.init_sync_state == "FINISHED"
+
+
+def test_time_travel_as_of_and_expiry(spark, tmp_path):
+    """AS-OF reads resolve to the last version committed before the
+    timestamp; expire_versions drops old manifests (their data becomes
+    vacuum-eligible) while the current version keeps working."""
+    import time
+
+    base = source_table(spark, 80)
+    ev = change_events(spark, 80, 400, pre_init_frac=0.0)
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    n_v1 = table.read(spark).count()
+    t_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    pipe.sync_batch(ev, 0)
+
+    old = table.read_as_of(spark, t_between)
+    assert old.count() == n_v1
+    now = table.read_as_of(spark, int(time.time() * 1000))
+    assert now.count() == table.read(spark).count()
+
+    n_versions = len(table._versions())
+    removed = table.expire_versions(keep_last=1)
+    assert removed == n_versions - 1
+    assert table.read(spark).count() == now.count()
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(t_between)
+    assert table.vacuum() >= 0  # old files now unreferenced-only
+
+
+def test_point_lookup_reads_one_bucket(spark, tmp_path):
+    base = source_table(spark, 200)
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=8,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+
+    sample = base.select("repo", "path", "content").limit(3).collect()
+    for r in sample:
+        got = table.read_key(spark, {"repo": r["repo"], "path": r["path"]})
+        rows = got.collect()
+        assert len(rows) == 1 and rows[0]["content"] == r["content"]
+    # bucket pruning: the lookup plan lists 1/n_buckets of the data files
+    one = sample[0]
+    pruned = table.read_key(spark, {"repo": one["repo"], "path": one["path"]})
+    n_total = len(table.manifest().files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(".parquet") <= max(1, n_total // 4)
+    missing = table.read_key(spark, {"repo": "no-such", "path": "nope"})
+    assert missing.count() == 0
