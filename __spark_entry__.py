@@ -228,6 +228,57 @@ def q_rollup_order_stats(spark, sf_dir):
                            F.col("o_orderstatus").asc_nulls_first()))
 
 
+def q_asof_join_last_order(spark, sf_dir):
+    """AS-OF join (backward, inclusive): each event matched to the customer's
+    latest order at or before the event time. Union+window implementation —
+    one shuffle on the key, no inequality join (operators/joins.py)."""
+    from pyspark.sql import Window as W
+    from kafka_connect_dynamodb_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("od_ms"),
+        "o_orderkey", "o_totalprice")
+    # dedupe ties: one order per (custkey, orderdate), max orderkey wins
+    w = W.partitionBy("o_custkey", "od_ms").orderBy(F.col("o_orderkey").desc())
+    r = (orders.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn")
+               .withColumnRenamed("o_custkey", "user_id"))
+    out = asof_join(ev, r, key_cols=["user_id"], left_ts="ts_ms",
+                    right_ts="od_ms")
+    return out.select("event_id", "user_id", "ts_ms",
+                      "o_orderkey", "o_totalprice").orderBy("event_id")
+
+
+def q_range_join_promo_windows(spark, sf_dir):
+    """Range join without an equi-key: events falling inside 2-day 'promo'
+    windows (derived from the first 20 orders), via interval bucketing —
+    equi-join on bucket id + residual filter, no theta-join
+    (operators/joins.py)."""
+    from kafka_connect_dynamodb_spark.operators.joins import range_join_bucketed
+    HOUR = 3_600_000
+    evt = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    ev = evt.select("event_id", "ts_ms")
+    # promo windows derived from the data itself: each of the first 20
+    # users' first event opens a 2-hour window (no equi-key join below)
+    promos = (evt.filter(F.col("user_id") < 20)
+                 .groupBy(F.col("user_id").alias("promo_id"))
+                 .agg(F.min("ts_ms").alias("start_ms"))
+                 .withColumn("end_ms", F.col("start_ms") + F.lit(2 * HOUR)))
+    j = range_join_bucketed(ev, promos, point_col="ts_ms",
+                            start_col="start_ms", end_col="end_ms",
+                            bucket_width=HOUR)
+    return (j.groupBy("promo_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts_ms").alias("first_ms"),
+                  F.max("ts_ms").alias("last_ms"))
+             .orderBy("promo_id"))
+
+
 def q_q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 analog: 5-table join chain, small dims broadcast, revenue per
     nation within one region."""
@@ -836,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_nations": q_semi_join_active_nations,
         "rollup_order_stats": q_rollup_order_stats,
         "q5_region_revenue": q_q5_region_revenue,
+        "asof_join_last_order": q_asof_join_last_order,
+        "range_join_promo_windows": q_range_join_promo_windows,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
@@ -1093,6 +1146,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": _near_dup_lsh_oracle(0.36, 200),
         "knn_join_lsh": _knn_lsh_oracle(3),
         "corpus_clean": _CORPUS_CLEAN_SQL,
+        "asof_join_last_order": """
+            WITH r AS (SELECT * FROM
+                       (SELECT o_custkey, epoch_ms(o_orderdate) AS od_ms,
+                               o_orderkey, o_totalprice,
+                               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) AS rn
+                        FROM orders) WHERE rn = 1)
+            SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                   r.o_orderkey, r.o_totalprice
+            FROM events e ASOF JOIN r
+              ON e.user_id = r.o_custkey AND epoch_ms(e.ts) >= r.od_ms
+            ORDER BY event_id""",
+        "range_join_promo_windows": """
+            WITH p AS (SELECT user_id AS promo_id,
+                              min(epoch_ms(ts)) AS start_ms,
+                              min(epoch_ms(ts)) + 2*3600000 AS end_ms
+                       FROM events WHERE user_id < 20 GROUP BY user_id)
+            SELECT promo_id, count(*) AS n_events,
+                   min(epoch_ms(e.ts)) AS first_ms,
+                   max(epoch_ms(e.ts)) AS last_ms
+            FROM p JOIN events e
+              ON epoch_ms(e.ts) >= p.start_ms AND epoch_ms(e.ts) < p.end_ms
+            GROUP BY promo_id ORDER BY promo_id""",
     }
 
 

@@ -1,0 +1,62 @@
+"""Temporal joins (operators/joins.py): AS-OF union+window semantics and
+bucketed range-join exactness vs a naive theta-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.operators.joins import (
+    asof_join, range_join_bucketed)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 10, "e2"), (1, 3, "e0"), (2, 7, "e3"), (3, 9, "e4")],
+        "k long, t long, ev string")
+    right = spark.createDataFrame(
+        [(1, 5, "r@5"), (1, 8, "r@8"), (2, 9, "r@9")],
+        "k long, rt long, rv string")
+    out = {(r.k, r.t): r.rv
+           for r in asof_join(left, right, key_cols=["k"],
+                              left_ts="t", right_ts="rt").collect()}
+    assert out[(1, 5)] == "r@5"      # inclusive: rt == t matches
+    assert out[(1, 10)] == "r@8"     # latest prior, not first
+    assert (1, 3) not in out         # no prior right row -> dropped (inner)
+    assert (2, 7) not in out         # right row is in the future
+    assert (3, 9) not in out         # key absent on right
+
+
+def test_asof_join_rejects_column_clash(spark):
+    l = spark.createDataFrame([(1, 1, "x")], "k long, t long, v string")
+    r = spark.createDataFrame([(1, 1, "y")], "k long, rt long, v string")
+    with pytest.raises(ValueError):
+        asof_join(l, r, key_cols=["k"], left_ts="t", right_ts="rt")
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    import random
+    rnd = random.Random(5)
+    pts = [(i, rnd.randrange(0, 10_000)) for i in range(400)]
+    ivs = [(j, s := rnd.randrange(0, 9_000), s + rnd.randrange(1, 2_500))
+           for j in range(40)]
+    left = spark.createDataFrame(pts, "pid long, p long")
+    right = spark.createDataFrame(ivs, "iid long, s long, e long")
+
+    fast = {(r.pid, r.iid) for r in range_join_bucketed(
+        left, right, point_col="p", start_col="s", end_col="e",
+        bucket_width=500).collect()}
+    naive = {(r.pid, r.iid) for r in
+             left.crossJoin(right)
+                 .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+                 .collect()}
+    assert fast == naive and len(fast) > 0
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # interval spanning many buckets still yields each pair exactly once
+    left = spark.createDataFrame([(1, 999), (2, 0), (3, 5000)], "pid long, p long")
+    right = spark.createDataFrame([(9, 0, 5001)], "iid long, s long, e long")
+    rows = range_join_bucketed(left, right, point_col="p", start_col="s",
+                               end_col="e", bucket_width=10).collect()
+    assert sorted((r.pid, r.iid) for r in rows) == [(1, 9), (2, 9), (3, 9)]
