@@ -279,6 +279,42 @@ def q_range_join_promo_windows(spark, sf_dir):
              .orderBy("promo_id"))
 
 
+def q_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: integer time_bucket (1h) x
+    event_type rollup. Bucketing is pure integer arithmetic (epoch_ms //
+    width * width) so both engines agree bit-for-bit; the measure sums in
+    DECIMAL (doubles would be partial-agg-order dependent) and is surfaced
+    as a pinned-scale string."""
+    HOUR = 3_600_000
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    return (ev.withColumn("bucket_ms",
+                          (F.floor(F.col("ts_ms") / HOUR) * HOUR).cast("long"))
+              .groupBy("bucket_ms", "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("string").alias("sum_value"))
+              .orderBy("bucket_ms", "event_type"))
+
+
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """KMV distinct-count sketch per event_type (k=64 smallest sha256 of
+    user_id): deterministic, mergeable, oracle-verifiable bit-for-bit —
+    including the (k-1)/frac(kth) estimate — unlike HLL. Output carries the
+    true distinct count for accuracy comparison."""
+    from kafka_connect_dynamodb_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch)
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_estimate(kmv_sketch(ev, ["event_type"], "user_id", k=64), k=64)
+    true = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_true_distinct"))
+    return (sk.join(true, "event_type")
+              .select("event_type", "n_true_distinct", "n_seen",
+                      "kmv_estimate")
+              .orderBy("event_type"))
+
+
 def q_q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 analog: 5-table join chain, small dims broadcast, revenue per
     nation within one region."""
@@ -889,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q_q5_region_revenue,
         "asof_join_last_order": q_asof_join_last_order,
         "range_join_promo_windows": q_range_join_promo_windows,
+        "time_bucket_rollup": q_time_bucket_rollup,
+        "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
@@ -1169,6 +1207,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN events e
               ON epoch_ms(e.ts) >= p.start_ms AND epoch_ms(e.ts) < p.end_ms
             GROUP BY promo_id ORDER BY promo_id""",
+        "time_bucket_rollup": """
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+        "kmv_distinct_sketch": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              sha256(CAST(user_id AS VARCHAR)) AS h FROM events),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                  FROM h),
+            k AS (SELECT event_type, max(h) AS kth, count(*) AS n_seen
+                  FROM r WHERE rn <= 64 GROUP BY event_type),
+            t AS (SELECT event_type, count(DISTINCT user_id) AS n_true_distinct
+                  FROM events GROUP BY event_type)
+            SELECT k.event_type, t.n_true_distinct, k.n_seen,
+                   CASE WHEN k.n_seen < 64 THEN CAST(k.n_seen AS DOUBLE)
+                        ELSE 63.0 / (CAST(CAST('0x' || substr(k.kth, 1, 13) AS BIGINT)
+                                     AS DOUBLE) / 4503599627370496.0) END
+                     AS kmv_estimate
+            FROM k JOIN t USING (event_type) ORDER BY event_type""",
     }
 
 
