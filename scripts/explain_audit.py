@@ -100,6 +100,22 @@ def main() -> None:
             ("no cartesian product in candidate verify", "CartesianProduct", False),
             ("no Python in pipeline", "EvalPython", False),
         ],
+        "asof_join_last_order": [
+            ("union+window, no inequality join", "CartesianProduct", False),
+            ("no nested-loop join", "BroadcastNestedLoopJoin", False),
+            ("event-time window carry-forward", "Window"),
+        ],
+        "range_join_promo_windows": [
+            ("bucketed interval join, no cartesian", "CartesianProduct", False),
+            ("no nested-loop join", "BroadcastNestedLoopJoin", False),
+        ],
+        "time_bucket_rollup": [
+            ("hash aggregate (partial+final)", "HashAggregate"),
+            ("codegen", "codegen id"),
+        ],
+        "kmv_distinct_sketch": [
+            ("bounded per-group state (top-k window)", "WindowGroupLimit"),
+        ],
     }
     for name, wanted in audit.items():
         p = plan_of(qs[name](spark, SF_DIR))
