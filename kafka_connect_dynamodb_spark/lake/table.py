@@ -258,7 +258,8 @@ class LakeTable:
 
     def merge(self, spark: SparkSession, updates: DataFrame, *,
               batch_id: int | None = None, source: str = "default",
-              op_col: str = "_op", seq_col: str = "_seq") -> dict[str, Any]:
+              op_col: str = "_op", seq_col: str = "_seq",
+              conflict_retries: int = 2) -> dict[str, Any]:
         """Apply a batch of LWW-deduped changes (one row per key, columns:
         keys + payload + op_col + seq_col).
 
@@ -269,11 +270,31 @@ class LakeTable:
 
         Exactly-once: if ``batch_id <= committed[source]`` the call is a no-op
         (foreachBatch redelivery after crash).
-        """
-        m = self.manifest()
-        if batch_id is not None and batch_id <= m.committed.get(source, -1):
-            return {"skipped": True, "batch_id": batch_id}
 
+        Multi-writer liveness: if another committer (a maintenance job, a
+        concurrent stream) wins the optimistic commit race, the merge
+        re-reads the new manifest and recomputes against it, up to
+        ``conflict_retries`` times — the standard lakehouse
+        read-check-recompute-commit loop. Orphaned staging from lost
+        attempts is invisible to readers and reclaimed by :meth:`vacuum`.
+        """
+        attempt = 0
+        while True:
+            m = self.manifest()
+            if batch_id is not None and batch_id <= m.committed.get(source, -1):
+                return {"skipped": True, "batch_id": batch_id}
+            try:
+                return self._merge_once(spark, updates, m,
+                                        batch_id=batch_id, source=source,
+                                        op_col=op_col, seq_col=seq_col)
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
+    def _merge_once(self, spark: SparkSession, updates: DataFrame,
+                    m: Manifest, *, batch_id: int | None, source: str,
+                    op_col: str, seq_col: str) -> dict[str, Any]:
         keys = m.key_cols
         upd = updates.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE))
         if op_col != "_op":

@@ -145,3 +145,56 @@ def test_commit_conflict(spark, tmp_path):
                    n_buckets=m.n_buckets, schema_json=m.schema_json, files=m.files)
     with pytest.raises(CommitConflict):
         t._commit(dup)
+
+
+def test_merge_retries_on_commit_conflict(spark, tmp_path):
+    """Multi-writer liveness: a racer steals the optimistic commit (props
+    update between our manifest read and commit); merge must re-read the new
+    manifest, recompute, and land on the next version — not fail."""
+    from kafka_connect_dynamodb_spark.lake.commitio import PosixCommitIO
+
+    t = _table(spark, tmp_path)
+    racer = LakeTable(str(tmp_path / "tbl"))
+
+    class RaceOnce(PosixCommitIO):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                racer.update_properties({"racer": "yes"})  # steals the version
+            return super().put_if_absent(path, payload)
+
+    t.io = RaceOnce()
+    res = t.merge(spark, _upd(spark, [("r1", "p1", "NEW", "u", 5)]),
+                  batch_id=0, source="s")
+    assert t.io.raced
+    assert res["version"] == 3          # create=1, racer=2, merge lands on 3
+    assert t.manifest().properties.get("racer") == "yes"
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got[("r1", "p1")] == "NEW" and got[("r2", "p1")] == "v3"
+
+
+def test_merge_conflict_exhausts_retries(spark, tmp_path):
+    """With a racer that wins EVERY attempt, merge raises CommitConflict
+    after conflict_retries recomputes instead of looping forever."""
+    from kafka_connect_dynamodb_spark.lake.commitio import PosixCommitIO
+
+    t = _table(spark, tmp_path)
+    racer = LakeTable(str(tmp_path / "tbl"))
+
+    class AlwaysRace(PosixCommitIO):
+        def __init__(self):
+            self.attempts = 0
+
+        def put_if_absent(self, path, payload):
+            self.attempts += 1
+            racer.update_properties({"n": str(self.attempts)})
+            return super().put_if_absent(path, payload)
+
+    t.io = AlwaysRace()
+    with pytest.raises(CommitConflict):
+        t.merge(spark, _upd(spark, [("r1", "p1", "X", "u", 9)]),
+                batch_id=0, source="s", conflict_retries=2)
+    assert t.io.attempts == 3            # initial try + 2 retries
