@@ -1,0 +1,108 @@
+"""Debezium-envelope adapter: binlog/WAL-style CDC logs -> the engine frame.
+
+The engine's native input is the DynamoDB-Streams shape the reference
+consumes (shard_id/seq_no/event_name/keys/new_image). Most relational CDC
+arrives as Debezium JSON instead — ``{"payload": {"before": ..., "after":
+..., "op": "c|u|d|r", "ts_ms": ..., "source": {...}}}`` — so this module
+normalizes that envelope into the exact same columns, after which EVERY
+downstream stage (filters, LWW reduce, MERGE, checkpoint resume, change
+feed) is reused unchanged: point ``start_tail(schema=debezium_schema(),
+...)`` at a Debezium topic dump and pass the frame through
+``debezium_to_events`` via a tiny ``selectExpr``-level view, or pre-apply
+it in batch.
+
+Mapping (Debezium semantics -> reference semantics):
+
+* op ``c``/``r`` -> INSERT (snapshot reads are inserts, like INIT_SYNC 'r'
+  rows), ``u`` -> MODIFY, ``d`` -> REMOVE;
+* ``after`` carries the row image (absent on deletes -> keys only, exactly
+  the reference's REMOVE shape, DynamoDBSourceTask.java:338-343);
+* ordering: ``source.sequence`` if present else ``ts_ms * 10^6 +
+  source.pos`` fallback — any monotone-per-key decimal works, the LWW
+  reduce only compares;
+* shard analog: ``source.table`` + partition id.
+
+All JVM-side (`from_json` + struct rebuild through the same
+encode_attr_json used everywhere); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_dynamodb_spark.functions.envelope import KEY_FIELDS
+
+
+def debezium_schema(payload_fields: tuple[str, ...]) -> T.StructType:
+    """Schema of one Debezium JSON value for a table with the given
+    (string-typed) payload columns."""
+    row = T.StructType([T.StructField(f, T.StringType(), True)
+                        for f in payload_fields])
+    source = T.StructType([
+        T.StructField("table", T.StringType(), True),
+        T.StructField("sequence", T.StringType(), True),
+        T.StructField("pos", T.LongType(), True),
+    ])
+    payload = T.StructType([
+        T.StructField("before", row, True),
+        T.StructField("after", row, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", source, True),
+    ])
+    return T.StructType([T.StructField("payload", payload, True)])
+
+
+def _tagged_json(prefix: str, fields: tuple[str, ...]) -> Column:
+    """Rebuild the engine's DynamoDB-JSON tagged envelope from a Debezium
+    row struct (string attrs -> {"f": {"s": ...}})."""
+    inner = [F.struct(F.col(f"{prefix}.{f}").cast("string").alias("s")).alias(f)
+             for f in fields]
+    return F.to_json(F.struct(*inner), {"ignoreNullFields": "true"})
+
+
+def debezium_to_events(df: DataFrame, *, value_col: str = "value",
+                       payload_fields: tuple[str, ...] = None,
+                       key_fields: tuple[str, ...] = KEY_FIELDS) -> DataFrame:
+    """Debezium JSON strings -> the engine's native event frame
+    (shard_id, seq_no, event_name, ts, keys, new_image)."""
+    from kafka_connect_dynamodb_spark.functions.envelope import PAYLOAD_FIELDS
+    payload_fields = tuple(payload_fields or PAYLOAD_FIELDS)
+    p = F.from_json(F.col(value_col), debezium_schema(payload_fields))["payload"]
+    d = df.withColumn("_p", p)
+    img = F.coalesce(F.col("_p.after"), F.col("_p.before"))
+    key_src = F.struct(*[img[f].alias(f) for f in key_fields]).alias("_k")
+    op = F.col("_p.op")
+    seq = F.coalesce(
+        F.col("_p.source.sequence").cast("decimal(38,0)"),
+        (F.col("_p.ts_ms").cast("decimal(38,0)") * 1_000_000
+         + F.coalesce(F.col("_p.source.pos"), F.lit(0))))
+    out = d.select(
+        F.concat(F.coalesce(F.col("_p.source.table"), F.lit("t")),
+                 F.lit("-"),
+                 F.pmod(F.xxhash64(*[img[f] for f in key_fields]), F.lit(32))
+                  .cast("string")).alias("shard_id"),
+        seq.alias("seq_no"),
+        (F.when(op.isin("c", "r"), "INSERT")
+          .when(op == "u", "MODIFY")
+          .when(op == "d", "REMOVE")).alias("event_name"),
+        F.timestamp_millis(F.col("_p.ts_ms")).alias("ts"),
+        F.when(key_src.isNotNull(), _keys_json(img, key_fields)).alias("keys"),
+        F.when(op != "d", _image_json(F.col("_p.after"), payload_fields))
+         .alias("new_image"),
+    )
+    return out
+
+
+def _keys_json(img: Column, key_fields: tuple[str, ...]) -> Column:
+    inner = [F.struct(img[f].cast("string").alias("s")).alias(f)
+             for f in key_fields]
+    return F.to_json(F.struct(*inner), {"ignoreNullFields": "true"})
+
+
+def _image_json(row: Column, fields: tuple[str, ...]) -> Column:
+    inner = [F.struct(row[f].cast("string").alias("s")).alias(f)
+             for f in fields]
+    return F.to_json(F.struct(*inner), {"ignoreNullFields": "true"})

@@ -1,0 +1,86 @@
+"""Debezium-envelope adapter: a binlog/WAL-style CDC log replays through the
+unchanged engine to the same final state as the native envelope."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.lake.table import LakeTable
+from kafka_connect_dynamodb_spark.plans.pipeline import CdcPipeline
+from kafka_connect_dynamodb_spark.sources.debezium import debezium_to_events
+from kafka_connect_dynamodb_spark.sources.generator import (
+    DEFAULT_BASE_TS, change_events, source_table)
+
+from tests.oracle import final_hashes, replay
+
+
+def _to_debezium(ev):
+    """Render the generator's native envelope as Debezium JSON values."""
+    def row_json(r):
+        keys = {k: v.get("s", v.get("n"))
+                for k, v in json.loads(r["keys"]).items()}
+        after = None
+        if r["new_image"] is not None:
+            after = {k: v.get("s", v.get("n"))
+                     for k, v in json.loads(r["new_image"]).items()}
+        op = {"INSERT": "c", "MODIFY": "u", "REMOVE": "d"}[r["event_name"]]
+        payload = {
+            "before": keys if op == "d" else None,
+            "after": after if op != "d" else None,
+            "op": op,
+            "ts_ms": int(r["ts"].timestamp() * 1000),
+            "source": {"table": "repo_files", "sequence": str(r["seq_no"]),
+                       "pos": 0},
+        }
+        return json.dumps({"payload": payload})
+    return row_json
+
+
+def test_debezium_log_replays_to_native_parity(spark, tmp_path):
+    base = source_table(spark, 120)
+    ev = change_events(spark, 120, 800, pre_init_frac=0.0)
+
+    # materialize the log as Debezium JSON values (driver-side render is
+    # test-only; production reads a Kafka topic dump)
+    import datetime
+    rows = []
+    conv = _to_debezium(ev)
+    for r in ev.collect():
+        d = r.asDict()
+        d["ts"] = d["ts"].replace(tzinfo=datetime.timezone.utc)
+        rows.append((conv(d),))
+    dbz = spark.createDataFrame(rows, "value string")
+
+    frame = debezium_to_events(dbz)
+    assert set(frame.columns) == {"shard_id", "seq_no", "event_name", "ts",
+                                  "keys", "new_image"}
+
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=8,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    pipe.sync_batch(frame, 0)
+
+    got = {(r["repo"], r["path"]):
+           hashlib.sha256((r["content"] or "").encode()).hexdigest()
+           for r in table.read(spark).collect()}
+    want = final_hashes(replay([r.asDict() for r in base.collect()],
+                               [r.asDict() for r in ev.collect()]))
+    assert got == want
+
+
+def test_debezium_adapter_is_jvm_side(spark):
+    dbz = spark.createDataFrame(
+        [('{"payload":{"after":{"repo":"r","path":"p","commit":"c",'
+          '"lang":"py","content":"x"},"op":"c","ts_ms":1717200000000,'
+          '"source":{"table":"t","sequence":"7","pos":0}}}',)],
+        "value string")
+    out = debezium_to_events(dbz)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    r = out.collect()[0]
+    assert r.event_name == "INSERT" and str(r.seq_no) == "7"
+    assert '"s":"x"' in r.new_image and '"repo"' in r.keys
