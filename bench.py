@@ -38,6 +38,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "knn_join_lsh",
+    "asof_join_last_order",
+    "time_bucket_rollup",
 ]
 
 
