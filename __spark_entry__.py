@@ -298,6 +298,24 @@ def q_time_bucket_rollup(spark, sf_dir):
               .orderBy("bucket_ms", "event_type"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user via Spark's built-in
+    session_window — merge-on-gap semantics identical to the classic
+    lag/cumsum formulation the oracle uses. Session end = last event + gap
+    (Spark's definition, mirrored in SQL)."""
+    GAP_MS = 30 * 60 * 1000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("tst"))
+    sw = F.session_window(F.col("tst"), "30 minutes")
+    return (ev.groupBy("user_id", sw)
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+                      F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+                      "n_events")
+              .orderBy("user_id", "start_ms"))
+
+
 def q_kmv_distinct_sketch(spark, sf_dir):
     """KMV distinct-count sketch per event_type (k=64 smallest sha256 of
     user_id): deterministic, mergeable, oracle-verifiable bit-for-bit —
@@ -927,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_promo_windows": q_range_join_promo_windows,
         "time_bucket_rollup": q_time_bucket_rollup,
         "kmv_distinct_sketch": q_kmv_distinct_sketch,
+        "user_sessions": q_user_sessions,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
@@ -1228,6 +1247,22 @@ def oracle_sql() -> dict[str, str]:
                                      AS DOUBLE) / 4503599627370496.0) END
                      AS kmv_estimate
             FROM k JOIN t USING (event_type) ORDER BY event_type""",
+        "user_sessions": """
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+            m AS (SELECT user_id, t,
+                         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                   IS NULL
+                              OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                   > 1800000
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM e),
+            s AS (SELECT user_id, t,
+                         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM m)
+            SELECT user_id, min(t) AS start_ms,
+                   max(t) + 1800000 AS end_ms, count(*) AS n_events
+            FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
     }
 
 

@@ -37,3 +37,21 @@ def event_rate_stream(events: DataFrame, *, window: str = "5 minutes",
     if by_shard:
         cols.append(F.col("shard_id"))
     return out.select(*cols, "n_events", "min_seq", "max_seq")
+
+
+def session_stream(events: DataFrame, key: str = "user_id", *,
+                   gap: str = "30 minutes", ts_col: str = "ts",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization: Spark's built-in
+    ``session_window`` under a watermark — sessions finalize (and their
+    state evicts) once the watermark passes last-event-time + gap, so state
+    is bounded by the active-session population, not history. The batch
+    twin is the oracle-checked ``user_sessions`` driver query."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (events.withWatermark(ts_col, watermark)
+                  .groupBy(F.col(key), sw)
+                  .agg(F.count(F.lit(1)).alias("n_events"))
+                  .select(key,
+                          F.col("session_window.start").alias("session_start"),
+                          F.col("session_window.end").alias("session_end"),
+                          "n_events"))

@@ -50,3 +50,60 @@ def test_event_rate_by_shard(spark):
     assert sum(r["n_events"] for r in rows) == 1000
     assert {r["shard_id"] for r in rows} == {
         r["shard_id"] for r in ev.select("shard_id").distinct().collect()}
+
+
+def test_session_stream_matches_batch_sessions(spark, tmp_path):
+    """Streaming session_window under a watermark: finalized sessions match
+    batch sessionization; a late sentinel advances the watermark so real
+    sessions close."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.sources.generator import DEFAULT_BASE_TS
+    from kafka_connect_dynamodb_spark.streaming.monitor import session_stream
+
+    base = DEFAULT_BASE_TS.replace(tzinfo=None)
+    rows = []
+    for u in range(5):
+        t0 = base + timedelta(minutes=u)
+        # session 1: three events a minute apart
+        for k in range(3):
+            rows.append((f"u{u}", t0 + timedelta(minutes=k)))
+        # 30-minute gap -> session 2: two events
+        for k in range(2):
+            rows.append((f"u{u}", t0 + timedelta(minutes=40 + k)))
+    rows.append(("sentinel", base + timedelta(hours=10)))  # watermark pump
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    log = str(tmp_path / "log")
+    df.coalesce(1).write.parquet(log)
+
+    src = (spark.readStream.schema("user_id string, ts timestamp")
+                .parquet(log))
+    sessions = session_stream(src, "user_id", gap="10 minutes",
+                              watermark="5 minutes")
+    got = set()
+
+    def sink(out, _bid):
+        got.update((r.user_id, r.session_start, r.session_end, r.n_events)
+                   for r in out.collect())
+
+    q = (sessions.writeStream.outputMode("append").foreachBatch(sink)
+                 .option("checkpointLocation", str(tmp_path / "cp"))
+                 .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = spark.read.parquet(log)
+    sw = F.session_window(F.col("ts"), "10 minutes")
+    want = {(r.user_id, r.s0, r.s1, r.n_events)
+            for r in batch.groupBy("user_id", sw)
+                          .agg(F.count(F.lit(1)).alias("n_events"))
+                          .select("user_id",
+                                  F.col("session_window.start").alias("s0"),
+                                  F.col("session_window.end").alias("s1"),
+                                  "n_events")
+                          .collect()
+            if r.user_id != "sentinel"}  # sentinel session stays open
+    assert got == want                    # 5 users x 2 sessions each
+    assert len(got) == 10
+    assert all(n in (2, 3) for (_, _, _, n) in got)
