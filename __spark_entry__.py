@@ -496,6 +496,21 @@ def q_doc_quality_full(spark, sf_dir):
         "punct_ratio", "unique_token_ratio", "quality_score").orderBy("doc_id")
 
 
+_STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}  # others: 0.1
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified corpus sample: per-language Bernoulli rates
+    via integer hash thresholds (no rand(), partition-independent, the
+    sampled SET is engine-reproducible)."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        stratified_sample)
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _STRATA_RATES, "doc_id",
+                            default_rate=0.1)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_corpus_clean(spark, sf_dir):
     """End-to-end training-corpus cleanup as ONE declarative pipeline:
     keep the canonical copy per normalized content hash (exact dedup),
@@ -905,6 +920,19 @@ _CORPUS_CLEAN_SQL = f"""
             ORDER BY q.doc_id"""
 
 
+def _stratified_sample_oracle() -> str:
+    from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+    cases = " ".join(
+        f"WHEN '{v}' THEN {threshold_for(r)}"
+        for v, r in sorted(_STRATA_RATES.items()))
+    return f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(sha256('' || CAST(doc_id AS VARCHAR)), 1, 13)
+                       AS BIGINT)
+                  < CASE lang {cases} ELSE {threshold_for(0.1)} END
+            ORDER BY doc_id"""
+
+
 def _u16_le_sql(hx: str, i: int) -> str:
     """Little-endian uint16 at byte offset 2*i of a lowercase-hex digest —
     the SQL mirror of fake_decoder's np.frombuffer(h, dtype=np.uint16)."""
@@ -959,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "doc_quality_full": q_doc_quality_full,
         "corpus_clean": q_corpus_clean,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "doc_content_sha": q_doc_content_sha,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
@@ -1263,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS start_ms,
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
+        "stratified_sample_docs": _stratified_sample_oracle(),
     }
 
 

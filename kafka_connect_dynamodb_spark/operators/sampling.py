@@ -1,0 +1,82 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling on a cluster must be REPRODUCIBLE (same corpus -> same
+sample, regardless of partitioning or retries), so nothing here uses
+``rand()``: the selection variable is a hash of the row key.
+
+* ``hash_frac`` — sha256-based uniform in [0,1): first 13 hex chars as a
+  52-bit integer (exactly representable in a double). Any engine with
+  sha256 reproduces it bit-for-bit, which is what makes the sampled SET
+  oracle-checkable — unlike Bernoulli ``sample()``.
+* ``deterministic_sample`` — Bernoulli by integer threshold comparison
+  (``hash_int < floor(rate * 2^52)``), no floating point in the decision.
+* ``stratified_sample`` — per-stratum rates (e.g. language quotas for a
+  corpus rebalance); one pushdown-friendly CASE, no shuffle at all.
+* ``weighted_sample`` — Efraimidis–Spirakis weighted reservoir: top-k by
+  ``-ln(u)/w`` (exponential race). Deterministic given the hash, but the
+  transcendental sort key means last-ulp libm differences across engines
+  could in principle flip exact ties — so this one is pinned by tests
+  (expectation + determinism), not by a value-hash oracle.
+
+Scale: all three are single-pass column expressions; weighted_sample adds
+one TakeOrderedAndProject (per-partition top-k, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_FRAC_BITS = 52                     # 13 hex chars
+_FRAC_DIV = float(1 << _FRAC_BITS)
+
+
+def hash_int(key: Column, salt: str = "") -> Column:
+    """52-bit uniform integer from sha256(salt || key) — the deterministic
+    stand-in for rand() everywhere in this module."""
+    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+
+
+def hash_frac(key: Column, salt: str = "") -> Column:
+    return hash_int(key, salt) / F.lit(_FRAC_DIV)
+
+
+def threshold_for(rate: float) -> int:
+    """Integer acceptance threshold for a rate — exact, no FP comparison."""
+    return int(rate * (1 << _FRAC_BITS))
+
+
+def deterministic_sample(df: DataFrame, rate: float, key_col: str, *,
+                         salt: str = "") -> DataFrame:
+    """Partition-independent Bernoulli(rate) sample keyed on ``key_col``."""
+    return df.filter(hash_int(F.col(key_col), salt) < F.lit(threshold_for(rate)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], key_col: str, *,
+                      default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum Bernoulli rates (corpus rebalancing: e.g. keep 10% of
+    English, 100% of low-resource languages). Unlisted strata use
+    ``default_rate``."""
+    thr = F.lit(threshold_for(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(threshold_for(rate))).otherwise(thr)
+    return df.filter(hash_int(F.col(key_col), salt) < thr)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int, key_col: str, *,
+                    salt: str = "") -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: the k rows
+    with smallest ``-ln(u)/w`` (u = hash_frac). Inclusion probability is
+    proportional to weight; deterministic given the corpus."""
+    u = hash_frac(F.col(key_col), salt)
+    # guard u=0 (probability 2^-52) and non-positive weights
+    ekey = -F.log(F.greatest(u, F.lit(2.0 ** -53))) / F.col(weight_col)
+    return (df.withColumn("_ekey", ekey)
+              .filter(F.col(weight_col) > 0)
+              .orderBy(F.col("_ekey").asc(), F.col(key_col))
+              .limit(k)
+              .drop("_ekey"))
