@@ -53,6 +53,40 @@ def test_range_join_matches_naive_theta_join(spark):
     assert fast == naive and len(fast) > 0
 
 
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Property-style pinning: random (key, ts) frames -> asof_join output
+    equals pandas.merge_asof (backward, inclusive) on every seed."""
+    import random
+
+    import pandas as pd
+
+    for seed in (0, 1, 7, 42, 99):
+        rnd = random.Random(seed)
+        lrows = [(rnd.randrange(4), rnd.randrange(100), i)
+                 for i in range(60)]
+        rrows = [(rnd.randrange(4), rnd.randrange(100), 1000 + j)
+                 for j in range(25)]
+        # dedupe right on (k, rt): asof requires unique timestamps per key
+        seen, rdedup = set(), []
+        for k, rt, rv in rrows:
+            if (k, rt) not in seen:
+                seen.add((k, rt))
+                rdedup.append((k, rt, rv))
+        left = spark.createDataFrame(lrows, "k long, t long, lid long")
+        right = spark.createDataFrame(rdedup, "k long, rt long, rv long")
+        got = {(r.k, r.t, r.lid): r.rv
+               for r in asof_join(left, right, key_cols=["k"],
+                                  left_ts="t", right_ts="rt").collect()}
+
+        lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+        rp = pd.DataFrame(rdedup, columns=["k", "rt", "rv"]).sort_values("rt")
+        m = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                          direction="backward", allow_exact_matches=True)
+        want = {(int(r.k), int(r.t), int(r.lid)): int(r.rv)
+                for r in m.itertuples() if pd.notna(r.rv)}
+        assert got == want, f"seed {seed}"
+
+
 def test_range_join_no_duplicate_pairs(spark):
     # interval spanning many buckets still yields each pair exactly once
     left = spark.createDataFrame([(1, 999), (2, 0), (3, 5000)], "pid long, p long")
