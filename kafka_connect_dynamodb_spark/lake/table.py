@@ -139,8 +139,17 @@ class LakeTable:
         repartition("_bucket") co-locates each bucket in one task so
         partitionBy emits ~one file per bucket per commit (no small-file
         explosion); AQE coalesces near-empty partitions.
+
+        The staging dir carries a unique suffix: a writer that crashed
+        AFTER staging but BEFORE the manifest commit leaves an orphan that
+        must not collide with the redelivered batch's errorifexists write
+        (same next-version number). Manifest entries reference exact file
+        paths, so the suffix is invisible to readers; orphans are
+        vacuum-reclaimed.
         """
-        staged = os.path.join(self.root, "data", f"c{version:012d}")
+        import uuid
+        staged = os.path.join(self.root, "data",
+                              f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         (df.repartition(F.col("_bucket"))
            .write.mode("errorifexists").partitionBy("_bucket").parquet(staged))
         entries = []

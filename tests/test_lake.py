@@ -198,3 +198,28 @@ def test_merge_conflict_exhausts_retries(spark, tmp_path):
         t.merge(spark, _upd(spark, [("r1", "p1", "X", "u", 9)]),
                 batch_id=0, source="s", conflict_retries=2)
     assert t.io.attempts == 3            # initial try + 2 retries
+
+
+def test_crashed_staging_does_not_block_redelivery(spark, tmp_path):
+    """A writer that staged data files but died before the manifest commit
+    must not block the redelivered batch: staging dirs are uniquely
+    suffixed, the retry lands, and vacuum reclaims the orphan."""
+    import os
+
+    t = _table(spark, tmp_path)
+    # simulate the crash leftover: a staged dir for the NEXT version with a
+    # stray parquet-ish file in a bucket subdir
+    orphan = os.path.join(t.root, "data", "c000000000002")
+    os.makedirs(os.path.join(orphan, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "_bucket=0", "part-junk.parquet"), "w") as f:
+        f.write("junk")
+
+    res = t.merge(spark, _upd(spark, [("r1", "p1", "NEW", "u", 5)]),
+                  batch_id=0, source="s")
+    assert res["version"] == 2 and not res.get("skipped")
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got[("r1", "p1")] == "NEW"
+    removed = t.vacuum()
+    assert removed >= 1                      # the junk file is reclaimed
+    assert not os.path.exists(os.path.join(orphan, "_bucket=0",
+                                           "part-junk.parquet"))
