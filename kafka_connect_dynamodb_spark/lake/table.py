@@ -369,7 +369,11 @@ class LakeTable:
                 # winners as submitted, deletes as _op='d' tombstone rows).
                 # Cost is one extra write of ~|keys| rows — the winners are
                 # already cached by apply_batch, no extra source pass.
-                rel = os.path.join("changes", f"c{version:012d}.parquet")
+                # Unique suffix: same crash-redelivery collision class as
+                # data staging (manifest records the exact path).
+                import uuid as _uuid
+                rel = os.path.join(
+                    "changes", f"c{version:012d}-{_uuid.uuid4().hex[:8]}.parquet")
                 (upd.drop("_bucket", "_deleted")
                     .write.mode("errorifexists")
                     .parquet(os.path.join(self.root, rel)))
@@ -524,15 +528,24 @@ class LakeTable:
         count removed. (Snapshot expiry: older versions stop being readable.)"""
         m = self.manifest()
         live = {os.path.join(self.root, e["path"]) for e in m.files}
+        # live change-feed files keep their whole directory (a feed "file"
+        # is a parquet dir: part files + _SUCCESS markers inside)
+        live_change_dirs = {os.path.join(self.root, e["path"])
+                            for e in m.change_files}
         removed = 0
-        data_root = os.path.join(self.root, "data")
-        if not self.io.is_dir(data_root):
-            return 0
-        for dirpath, files in self.io.walk_files(data_root):
-            for f in files:
-                p = os.path.join(dirpath, f)
-                if p not in live and (f.endswith(".parquet") or f.startswith(".") or f.startswith("_")):
-                    self.io.delete_file(p)
-                    removed += 1
-            self.io.remove_dir_if_empty(dirpath)
+        for sub in ("data", "changes"):
+            root = os.path.join(self.root, sub)
+            if not self.io.is_dir(root):
+                continue
+            for dirpath, files in self.io.walk_files(root):
+                if any(dirpath.startswith(d) for d in live_change_dirs):
+                    continue
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    if p not in live and (f.endswith(".parquet")
+                                          or f.startswith(".")
+                                          or f.startswith("_")):
+                        self.io.delete_file(p)
+                        removed += 1
+                self.io.remove_dir_if_empty(dirpath)
         return removed

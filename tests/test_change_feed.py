@@ -113,3 +113,33 @@ def test_change_feed_carries_evolved_columns(spark, tmp_path):
     feed = table.changes(spark)
     assert "branch" in feed.columns
     assert feed.filter(F.col("branch").isNotNull()).count() > 0
+
+
+def test_feed_orphan_vacuum_and_crash_redelivery(spark, tmp_path):
+    """Crash window for the feed write: an orphaned delta (staged, never
+    committed) must not block the redelivered batch and IS vacuum-reclaimed,
+    while committed feed files survive vacuum."""
+    import os
+
+    base = source_table(spark, 40)
+    ev = change_events(spark, 40, 150, pre_init_frac=0.0)
+    table = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+
+    # leftover from a "crashed" attempt at the next version
+    orphan = os.path.join(table.root, "changes", "c000000000003-deadbeef.parquet")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+
+    pipe.sync_batch(ev, 0)                       # redelivery lands
+    n_feed = table.changes(spark).count()
+    assert n_feed > 0
+
+    removed = table.vacuum()
+    assert removed >= 1
+    assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
+    # the committed feed is untouched
+    assert table.changes(spark).count() == n_feed
