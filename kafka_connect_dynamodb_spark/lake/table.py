@@ -458,25 +458,51 @@ class LakeTable:
 
     # ------------------------------------------------------------- properties
 
-    def update_properties(self, props: dict[str, Any]) -> Manifest:
+    def update_properties(self, props: dict[str, Any], *,
+                          conflict_retries: int = 4) -> Manifest:
         """Commit a metadata-only version carrying updated properties
-        (state-doc persistence — SourceInfo.java:107-125 analog)."""
-        m = self.manifest()
-        new_m = Manifest(version=m.version + 1, table=m.table, key_cols=m.key_cols,
-                         n_buckets=m.n_buckets, schema_json=m.schema_json,
-                         files=m.files, committed=m.committed,
-                         properties={**m.properties, **props},
-                         lineage=(m.lineage + [{"commit": m.version + 1, "op": "props"}])[-50:],
-                         change_files=m.change_files)
-        self._commit(new_m)
-        return new_m
+        (state-doc persistence — SourceInfo.java:107-125 analog). Metadata
+        commits are cheap, so losing a race just re-reads and re-applies."""
+        attempt = 0
+        while True:
+            m = self.manifest()
+            new_m = Manifest(version=m.version + 1, table=m.table, key_cols=m.key_cols,
+                             n_buckets=m.n_buckets, schema_json=m.schema_json,
+                             files=m.files, committed=m.committed,
+                             properties={**m.properties, **props},
+                             lineage=(m.lineage + [{"commit": m.version + 1, "op": "props"}])[-50:],
+                             change_files=m.change_files)
+            try:
+                self._commit(new_m)
+                return new_m
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
 
     # ------------------------------------------------------------ maintenance
 
     def compact(self, spark: SparkSession, *, drop_tombstones_below_seq: int | None = None,
-                target_buckets: list[int] | None = None) -> Manifest:
+                target_buckets: list[int] | None = None,
+                conflict_retries: int = 1) -> Manifest:
         """Rewrite buckets to one file each; optionally purge tombstones whose
-        _seq is below a watermark (no older event can still arrive)."""
+        _seq is below a watermark (no older event can still arrive).
+        Losing a commit race to a concurrent merge re-reads the new manifest
+        and recompacts (bounded by ``conflict_retries``)."""
+        try:
+            return self._compact_once(spark, drop_tombstones_below_seq,
+                                      target_buckets)
+        except CommitConflict:
+            if conflict_retries <= 0:
+                raise
+            return self.compact(spark,
+                                drop_tombstones_below_seq=drop_tombstones_below_seq,
+                                target_buckets=target_buckets,
+                                conflict_retries=conflict_retries - 1)
+
+    def _compact_once(self, spark: SparkSession,
+                      drop_tombstones_below_seq: int | None,
+                      target_buckets: list[int] | None) -> Manifest:
         m = self.manifest()
         buckets = sorted({e["bucket"] for e in m.files}) if target_buckets is None else target_buckets
         bset = set(buckets)
