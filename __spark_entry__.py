@@ -316,6 +316,25 @@ def q_user_sessions(spark, sf_dir):
               .orderBy("user_id", "start_ms"))
 
 
+def q_order_price_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (p25/p50/p90) of order value
+    per priority — one row per (priority, pct). Exact percentile is the
+    correctness reference; at 100 TB the same query runs approx_percentile
+    (KLL) with this as the small-sample validation."""
+    orders = _t(spark, sf_dir, "orders")
+    pcts = [0.25, 0.5, 0.9]
+    agg = (orders.groupBy("o_orderpriority")
+                 .agg(F.expr(f"percentile(o_totalprice, array({', '.join(map(str, pcts))}))")
+                       .alias("pv")))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+                         F.col("pv").alias("v"))
+    return (agg.select("o_orderpriority", F.explode(pairs).alias("e"))
+               .select("o_orderpriority",
+                       F.col("e.pct").alias("pct"),
+                       F.col("e.v").alias("price"))
+               .orderBy("o_orderpriority", "pct"))
+
+
 def q_kmv_distinct_sketch(spark, sf_dir):
     """KMV distinct-count sketch per event_type (k=64 smallest sha256 of
     user_id): deterministic, mergeable, oracle-verifiable bit-for-bit —
@@ -331,6 +350,18 @@ def q_kmv_distinct_sketch(spark, sf_dir):
               .select("event_type", "n_true_distinct", "n_seen",
                       "kmv_estimate")
               .orderBy("event_type"))
+
+
+def q_cube_order_stats(spark, sf_dir):
+    """Grouping-set coverage beyond ROLLUP: full CUBE with grouping_id
+    (standard bitmask, priority = MSB) — all 4 grouping combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderpriority", "o_orderstatus")
+                  .agg(F.count("*").alias("n_orders"),
+                       F.grouping_id().alias("gid"))
+                  .orderBy(F.col("gid"),
+                           F.col("o_orderpriority").asc_nulls_first(),
+                           F.col("o_orderstatus").asc_nulls_first()))
 
 
 def q_q5_region_revenue(spark, sf_dir):
@@ -968,12 +999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": q_anti_join_inactive,
         "semi_join_active_nations": q_semi_join_active_nations,
         "rollup_order_stats": q_rollup_order_stats,
+        "cube_order_stats": q_cube_order_stats,
         "q5_region_revenue": q_q5_region_revenue,
         "asof_join_last_order": q_asof_join_last_order,
         "range_join_promo_windows": q_range_join_promo_windows,
         "time_bucket_rollup": q_time_bucket_rollup,
         "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "user_sessions": q_user_sessions,
+        "order_price_percentiles": q_order_price_percentiles,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
         "doc_quality_score": q_doc_quality_score,
@@ -1293,6 +1326,20 @@ def oracle_sql() -> dict[str, str]:
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
         "stratified_sample_docs": _stratified_sample_oracle(),
+        "cube_order_stats": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                   GROUPING(o_orderpriority, o_orderstatus) AS gid
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+                     o_orderstatus ASC NULLS FIRST""",
+        "order_price_percentiles": """
+            WITH p AS (SELECT o_orderpriority,
+                              unnest([0.25, 0.5, 0.9]) AS pct,
+                              unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]))
+                                AS price
+                       FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, pct, price FROM p
+            ORDER BY o_orderpriority, pct""",
     }
 
 
