@@ -323,10 +323,13 @@ def q_order_price_percentiles(spark, sf_dir):
     (KLL) with this as the small-sample validation."""
     orders = _t(spark, sf_dir, "orders")
     pcts = [0.25, 0.5, 0.9]
+    # pct surfaces as a STRING label: a numeric literal would be double on
+    # one engine and DECIMAL(3,2) on the other ('0.9' vs '0.90')
+    labels = [f"p{int(p * 100)}" for p in pcts]
     agg = (orders.groupBy("o_orderpriority")
                  .agg(F.expr(f"percentile(o_totalprice, array({', '.join(map(str, pcts))}))")
                        .alias("pv")))
-    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+    pairs = F.arrays_zip(F.array(*[F.lit(s) for s in labels]).alias("pct"),
                          F.col("pv").alias("v"))
     return (agg.select("o_orderpriority", F.explode(pairs).alias("e"))
                .select("o_orderpriority",
@@ -1334,7 +1337,7 @@ def oracle_sql() -> dict[str, str]:
                      o_orderstatus ASC NULLS FIRST""",
         "order_price_percentiles": """
             WITH p AS (SELECT o_orderpriority,
-                              unnest([0.25, 0.5, 0.9]) AS pct,
+                              unnest(['p25', 'p50', 'p90']) AS pct,
                               unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]))
                                 AS price
                        FROM orders GROUP BY o_orderpriority)
