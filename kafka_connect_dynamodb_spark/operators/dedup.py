@@ -34,6 +34,8 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     N-way parallelism for the expensive downstream expressions. At real scale
     inputs already arrive in many splits and this is a no-op.
     """
+    if df.isStreaming:
+        return df  # rdd introspection is undefined on streaming frames
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -14,7 +14,6 @@ and stored/bucketed (a bucketed write makes probes partition-pruned scans).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
