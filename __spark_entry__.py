@@ -545,6 +545,30 @@ def q_stratified_sample_docs(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Vocabulary construction (the step before BPE training): corpus-wide
+    lowercased token counts, top 100 by frequency with deterministic
+    tie-break. One explode + one map-side-combined groupBy; top-k via
+    TakeOrderedAndProject, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("token")).limit(100))
+
+
+def q_key_set_ops(spark, sf_dir):
+    """Explicit EXCEPT / INTERSECT coverage (SURVEY §2.7): event actors
+    without a customer record vs actors present in both."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key")).distinct()
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")).distinct()
+    only_ev = ev.exceptAll(cust).withColumn("side", F.lit("only_events"))
+    both = ev.intersect(cust).withColumn("side", F.lit("both"))
+    return (only_ev.unionByName(both)
+                   .select("side", "key").orderBy("side", "key"))
+
+
 def q_corpus_clean(spark, sf_dir):
     """End-to-end training-corpus cleanup as ONE declarative pipeline:
     keep the canonical copy per normalized content hash (exact dedup),
@@ -1024,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_full": q_doc_quality_full,
         "corpus_clean": q_corpus_clean,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "key_set_ops": q_key_set_ops,
         "doc_content_sha": q_doc_content_sha,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
@@ -1329,6 +1355,19 @@ def oracle_sql() -> dict[str, str]:
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
         "stratified_sample_docs": _stratified_sample_oracle(),
+        "vocab_top_tokens": r"""
+            WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                           '\s+')) AS token
+                       FROM documents)
+            SELECT token, count(*) AS n FROM t GROUP BY token
+            ORDER BY n DESC, token LIMIT 100""",
+        "key_set_ops": """
+            WITH e AS (SELECT DISTINCT user_id AS key FROM events),
+            c AS (SELECT DISTINCT c_custkey AS key FROM customer)
+            SELECT 'only_events' AS side, key FROM (SELECT key FROM e EXCEPT SELECT key FROM c)
+            UNION ALL
+            SELECT 'both' AS side, key FROM (SELECT key FROM e INTERSECT SELECT key FROM c)
+            ORDER BY side, key""",
         "cube_order_stats": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                    GROUPING(o_orderpriority, o_orderstatus) AS gid
