@@ -15,8 +15,10 @@ re-truncating to k — a monoid, so partial sketches combine across
 partitions/days without rescanning (the rollup-friendly property).
 
 Plan shape: distinct (group, hash) -> ranking window top-k per group ->
-one-row-per-group aggregate. The shuffle carries at most k hashes per
-group; no collect_set of unbounded size.
+one-row-per-group aggregate. WindowGroupLimit pushes the rank<=k filter
+into the map side, so the final shuffle carries ~k hashes per group per
+mapper (not the full distinct set), and no collect_set of unbounded size
+exists anywhere.
 """
 
 from __future__ import annotations
