@@ -138,3 +138,61 @@ def test_point_lookup_reads_one_bucket(spark, tmp_path):
     assert plan.count(".parquet") <= max(1, n_total // 4)
     missing = table.read_key(spark, {"repo": "no-such", "path": "nope"})
     assert missing.count() == 0
+
+
+def test_compaction_races_live_tail_to_parity(spark, tmp_path):
+    """Maintenance under load: compact + vacuum run WHILE a processingTime
+    tail applies batches. Commit races resolve via the retry loops (either
+    side may lose and retry/skip); final state must still be oracle parity."""
+    import time as _time
+
+    from kafka_connect_dynamodb_spark.lake.table import CommitConflict
+
+    base = source_table(spark, 150)
+    ev = change_events(spark, 150, 1200, pre_init_frac=0.0)
+    slices = [ev.filter(ev.seq_no % 4 == k) for k in range(4)]
+
+    log = str(tmp_path / "log")
+    cp = str(tmp_path / "cp")
+    slices[0].coalesce(1).write.mode("append").parquet(log)
+
+    table = LakeTable(str(tmp_path / "tbl"))
+    pipe = CdcPipeline(spark, table, n_buckets=8,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+
+    metrics: list[dict] = []
+    q = tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                        init_sync_start=DEFAULT_BASE_TS,
+                        available_now=False,
+                        processing_time="300 milliseconds", metrics=metrics)
+    compactions = conflicts = 0
+    try:
+        for k in (1, 2, 3):
+            slices[k].coalesce(1).write.mode("append").parquet(log)
+            # maintenance fired while batches are in flight
+            try:
+                table.compact_small_files(spark, max_files_per_bucket=1)
+                compactions += 1
+            except CommitConflict:
+                conflicts += 1          # lost every retry: acceptable for
+                                        # maintenance, the tail must proceed
+            table.vacuum()
+            _time.sleep(0.5)
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            applied = sum(m.get("rows_in", 0) for m in metrics
+                          if not m.get("skipped"))
+            if applied > 0 and len(metrics) >= 4:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+
+    # drain whatever remains, then check exact parity
+    tail.drain(tail.start_tail(spark, log, table, checkpoint_dir=cp,
+                               init_sync_start=DEFAULT_BASE_TS))
+    state = replay([r.asDict() for r in base.collect()],
+                   [r.asDict() for r in ev.collect()])
+    assert _hashes_of(table, spark) == final_hashes(state)
+    assert compactions >= 1
