@@ -667,7 +667,7 @@ def q_knn_join_lsh(spark, sf_dir):
     left = emb.filter(F.col("vec_id") < 30)
     right = emb.filter(F.col("vec_id") >= 30)
     return (knn_join_lsh(left, right, 3, planes=_ANN_PLANES, seed=_ANN_SEED,
-                         multiprobe=1)
+                         multiprobe=1, dim=64)
             .orderBy("qid", "rk"))
 
 

@@ -47,20 +47,27 @@ def asof_join(left: DataFrame, right: DataFrame, *, key_cols: list[str],
 
     lhs = (left.withColumn("_t", F.col(left_ts))
                .withColumn("_is_left", F.lit(1)))
+    # The whole right payload rides as ONE struct so a single
+    # last(ignorenulls) carries a complete right ROW forward — per-column
+    # carry would let a stale non-null value from an older row win per
+    # column when newer rows contain nulls (row-mixing), and would misread
+    # a genuinely-NULL payload value as "no match". The struct is non-null
+    # exactly when a right row matched.
     rhs = (right.select(*key_cols,
                         F.col(right_ts).alias("_t"),
-                        *rpay)
+                        F.struct(F.lit(True).alias("_m"), *rpay).alias("_rpay"))
                 .withColumn("_is_left", F.lit(0)))
     u = lhs.unionByName(rhs, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal _t => inclusive (<=) match
     w = (Window.partitionBy(*key_cols)
                .orderBy(F.col("_t"), F.col("_is_left"))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in rpay:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = u.filter(F.col("_is_left") == 1).drop("_is_left", "_t")
-    # inner semantics: require a match on the first right payload column
-    return out.filter(F.col(rpay[0]).isNotNull()) if rpay else out
+    u = u.withColumn("_rpay", F.last("_rpay", ignorenulls=True).over(w))
+    out = (u.filter(F.col("_is_left") == 1)
+            .filter(F.col("_rpay").isNotNull())   # inner semantics
+            .select(*[F.col(c) for c in left.columns],
+                    *[F.col(f"_rpay.{c}").alias(c) for c in rpay]))
+    return out
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame, *,

@@ -230,9 +230,20 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     all-zeros region of a padded corpus) so no single bucket goes quadratic —
     the same cap MinHash banding applies. One shuffle on the signature; the
     self-join carries (id, vector), never raw documents.
+
+    Pass ``dim`` explicitly (array<float> schema carries no length); the
+    ``first()`` fallback costs one extra tiny job and returns an empty
+    frame (not a crash) on empty input.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:
+            from pyspark.sql import types as T
+            idt = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame([], T.StructType([
+                T.StructField("id_a", idt), T.StructField("id_b", idt),
+                T.StructField("cos_sim", T.DoubleType())]))
+        dim = len(row[0])
     sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), dim,
                                planes, seed)
     with_sig = df.select(F.col(id_col).alias("id"),
@@ -320,7 +331,7 @@ def pq_topk(codes: DataFrame, codebooks: list[list[list[float]]],
 def knn_join_lsh(left: DataFrame, right: DataFrame, k: int, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  planes: int = 6, seed: int = 42,
-                 multiprobe: int = 1) -> DataFrame:
+                 multiprobe: int = 1, dim: int | None = None) -> DataFrame:
     """Batch kNN join, LSH-bucketed scale path: both sides get a
     random-hyperplane signature; each left vector probes its own bucket plus
     (when ``multiprobe``>=1) the hamming-1 neighbor buckets; exact cosine +
@@ -333,9 +344,22 @@ def knn_join_lsh(left: DataFrame, right: DataFrame, k: int, *,
     cost drops from O(|R|) to ~(multiprobe*planes+1)/2^planes * |R|.
     Approximate: a true neighbor hashed >1 bit away is missed (recall is
     tested against knn_join_bruteforce).
+
+    Pass ``dim`` explicitly (array<float> schema carries no length); the
+    ``first()`` fallback costs one extra tiny job and returns an empty
+    frame (not a crash) on an empty query side.
     """
     from pyspark.sql import Window as W
-    dim = len(left.select(vec_col).first()[0])
+    if dim is None:
+        row = left.select(vec_col).first()
+        if row is None:
+            from pyspark.sql import types as T
+            idt = left.schema[id_col].dataType
+            return left.sparkSession.createDataFrame([], T.StructType([
+                T.StructField("qid", idt), T.StructField("nid", idt),
+                T.StructField("rk", T.IntegerType()),
+                T.StructField("cos_sim", T.DoubleType())]))
+        dim = len(row[0])
     sig = lambda c: hyperplane_signature(c.cast("array<double>"), dim, planes, seed)
     probes = [F.col("_sig")]
     if multiprobe >= 1:

@@ -304,3 +304,18 @@ def test_training_ops_plans_are_jvm_side(spark, docs):
                text.lang_id(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_pair_ops_empty_input(spark):
+    """VERDICT r2 #7: dim inference must not crash on empty input — both LSH
+    pair ops return an empty, correctly-typed frame instead."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        embedding_near_dup_pairs, knn_join_lsh)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(empty)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    out2 = knn_join_lsh(empty, empty, 3)
+    assert out2.count() == 0
+    assert out2.columns == ["qid", "nid", "rk", "cos_sim"]
