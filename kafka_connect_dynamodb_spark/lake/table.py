@@ -120,11 +120,19 @@ class LakeTable:
         return Manifest.from_json(
             self.io.read_text(os.path.join(self.log_dir, f"v{v:012d}.json")))
 
-    def _commit(self, m: Manifest) -> None:
-        """Atomic single-winner commit (CommitIO.put_if_absent contract)."""
+    def _commit(self, m: Manifest, parent: Manifest | None = None) -> None:
+        """Atomic single-winner commit (CommitIO.put_if_absent contract).
+
+        The AS-OF stamp is clamped to the parent's so ``committed_at_ms`` is
+        monotone across versions even when committers' wall clocks skew
+        (merge job vs maintenance job on different drivers): without the
+        clamp, version_as_of could resolve a timestamp to a version that
+        excludes an earlier-stamped but later-committed change."""
         import time
         if not m.committed_at_ms:
             m.committed_at_ms = int(time.time() * 1000)
+        if parent is not None:
+            m.committed_at_ms = max(m.committed_at_ms, parent.committed_at_ms)
         self.io.put_if_absent(
             os.path.join(self.log_dir, f"v{m.version:012d}.json"), m.to_json())
 
@@ -206,6 +214,62 @@ class LakeTable:
         empty = spark.createDataFrame([], schema)
         return self.create(spark, empty, key_cols, n_buckets, table)
 
+    def replace(self, spark: SparkSession, df: DataFrame,
+                key_cols: list[str] | None = None, *,
+                n_buckets: int | None = None,
+                seq_col: str | None = None,
+                properties: dict[str, Any] | None = None,
+                conflict_retries: int = 4) -> Manifest:
+        """Truncate-and-reload in ONE atomic manifest commit — the
+        danger-zone re-snapshot path (the reference treats resync as a
+        first-class recovery, DynamoDBSourceTask.java:318-331).
+
+        No tree deletion anywhere: the new snapshot's files are staged like
+        any commit, and the manifest swap makes them the entire table in one
+        ``put_if_absent`` — the storage-agnostic move (an S3 prefix has no
+        rmtree). Old files stay readable for retained versions until
+        expire+vacuum reclaims them. Committed batch markers and properties
+        reset (a resync restarts the stream's exactly-once lineage from
+        scratch); the change-feed history is preserved for late consumers.
+
+        Losing a commit race (a maintenance job landing mid-resync) retries
+        with the SAME staged files under the next version number — manifest
+        entries reference exact paths, so the staging dir's embedded version
+        number is cosmetic."""
+        m = self.manifest()
+        key_cols = list(key_cols) if key_cols is not None else m.key_cols
+        n_buckets = n_buckets if n_buckets is not None else m.n_buckets
+        stored = df
+        if seq_col is None:
+            stored = stored.withColumn("_seq", F.lit(0).cast(SEQ_TYPE))
+        else:
+            stored = (stored.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE))
+                            .drop(seq_col))
+        stored = stored.withColumn("_deleted", F.lit(False))
+        data_schema = stored.schema
+        stored = stored.withColumn("_bucket",
+                                   self._bucket_expr(key_cols, n_buckets))
+        entries = self._write_bucketed(stored, m.version + 1)
+        attempt = 0
+        while True:
+            new_m = Manifest(
+                version=m.version + 1, table=m.table, key_cols=key_cols,
+                n_buckets=n_buckets,
+                schema_json=json.dumps(data_schema.jsonValue()),
+                files=entries, committed={}, properties=properties or {},
+                lineage=(m.lineage + [{"commit": m.version + 1,
+                                       "op": "replace",
+                                       "files": len(entries)}])[-50:],
+                change_files=m.change_files)
+            try:
+                self._commit(new_m, parent=m)
+                return new_m
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+                m = self.manifest()
+
     # ------------------------------------------------------------------ read
 
     def read(self, spark: SparkSession, *, include_meta: bool = False,
@@ -245,13 +309,20 @@ class LakeTable:
         m = self.manifest()
         if set(key_values) != set(m.key_cols):
             raise ValueError(f"need exactly keys {m.key_cols}")
+        # xxhash64 is input-TYPE-sensitive (an int literal defaults to
+        # IntegerType and hashes differently from a stored LongType column),
+        # so each literal is cast to the table's key dtype before hashing —
+        # the exact expression _bucket_expr evaluated at write time.
+        sch = m.schema()
+        lits = {c: F.lit(key_values[c]).cast(sch[c].dataType)
+                for c in m.key_cols}
         bucket = spark.range(1).select(
-            F.pmod(F.xxhash64(*[F.lit(key_values[c]) for c in m.key_cols]),
+            F.pmod(F.xxhash64(*[lits[c] for c in m.key_cols]),
                    F.lit(m.n_buckets)).cast("int").alias("b")).collect()[0]["b"]
         entries = [e for e in m.files if e["bucket"] == bucket]
-        df = self._read_files(spark, m.schema(), entries)
+        df = self._read_files(spark, sch, entries)
         for c in m.key_cols:
-            df = df.filter(F.col(c) == F.lit(key_values[c]))
+            df = df.filter(F.col(c) == lits[c])
         df = df.filter(~F.col("_deleted"))
         if not include_meta:
             df = df.drop(*META_COLS)
@@ -364,27 +435,43 @@ class LakeTable:
 
             version = m.version + 1
             change_entry: list[dict[str, Any]] = []
+            staged_rel: str | None = None
             if self.change_feed:
-                # CDC-OUT: publish this commit's compacted delta (the LWW
-                # winners as submitted, deletes as _op='d' tombstone rows).
-                # Cost is one extra write of ~|keys| rows — the winners are
-                # already cached by apply_batch, no extra source pass.
-                # Unique suffix: same crash-redelivery collision class as
-                # data staging (manifest records the exact path).
+                # CDC-OUT: this commit's compacted delta (the LWW winners as
+                # submitted, deletes as _op='d' tombstone rows). Cost is one
+                # extra write of ~|keys| rows — the winners are already
+                # cached by apply_batch, no extra source pass.
+                # The delta is STAGED under a hidden prefix (dot-dirs are
+                # invisible to stream_changes' file listing) and published
+                # to its final path only after the manifest commit wins —
+                # a lost commit attempt or crash can therefore never leak a
+                # phantom/duplicate micro-batch to streaming consumers.
                 import uuid as _uuid
-                rel = os.path.join(
-                    "changes", f"c{version:012d}-{_uuid.uuid4().hex[:8]}.parquet")
+                uid = _uuid.uuid4().hex[:8]
+                rel = os.path.join("changes", f"c{version:012d}-{uid}.parquet")
+                staged_rel = os.path.join("changes",
+                                          f".stage-c{version:012d}-{uid}")
                 (upd.drop("_bucket", "_deleted")
                     .write.mode("errorifexists")
-                    .parquet(os.path.join(self.root, rel)))
-                change_entry = [{"version": version, "path": rel}]
+                    .parquet(os.path.join(self.root, staged_rel)))
+                change_entry = [{"version": version, "path": rel,
+                                 "staged": staged_rel}]
             new_entries = self._write_bucketed(merged, version)
-            new_m = self._advance(
-                m, keep_entries + new_entries, batch_id, source,
-                {"op": "merge", "rows_in": n_upd, "buckets_touched": len(touched),
-                 "files_rewritten": len(tgt_entries), "files_written": len(new_entries)},
-                evolved if new_fields else None, version,
-                change_files=change_entry)
+            try:
+                new_m = self._advance(
+                    m, keep_entries + new_entries, batch_id, source,
+                    {"op": "merge", "rows_in": n_upd, "buckets_touched": len(touched),
+                     "files_rewritten": len(tgt_entries), "files_written": len(new_entries)},
+                    evolved if new_fields else None, version,
+                    change_files=change_entry)
+            except CommitConflict:
+                if staged_rel is not None:
+                    # lost the commit race: the staged delta belongs to no
+                    # committed manifest — drop it before the retry re-stages
+                    self.io.remove_tree(os.path.join(self.root, staged_rel))
+                raise
+            if staged_rel is not None:
+                self._heal_changes(new_m)
             return {"skipped": False, "batch_id": batch_id, "rows_in": n_upd,
                     "buckets_touched": len(touched), "version": new_m.version}
         finally:
@@ -407,10 +494,29 @@ class LakeTable:
             files=files, committed=committed, properties=m.properties,
             lineage=(m.lineage + [lineage_entry])[-50:],
             change_files=m.change_files + (change_files or []))
-        self._commit(new_m)
+        self._commit(new_m, parent=m)
         return new_m
 
     # ------------------------------------------------------------ change feed
+
+    def _heal_changes(self, m: Manifest) -> None:
+        """Publish committed-but-unpublished change deltas. A delta is
+        staged hidden and moved to its final path only after the manifest
+        commit wins; a crash between commit and publish leaves the staged
+        dir, which ANY later reader/writer/vacuum heals idempotently here
+        (losing a concurrent heal race is fine — the move tolerates a
+        missing source / existing destination)."""
+        for e in m.change_files:
+            staged = e.get("staged")
+            if not staged:
+                continue          # pre-staging manifest entry (old layout)
+            final = os.path.join(self.root, e["path"])
+            staged_abs = os.path.join(self.root, staged)
+            if self.io.is_dir(staged_abs) and not self.io.is_dir(final):
+                try:
+                    self.io.move_dir(staged_abs, final)
+                except FileNotFoundError:
+                    pass
 
     def changes(self, spark: SparkSession, *, from_version: int = 1,
                 to_version: int | None = None) -> DataFrame:
@@ -421,6 +527,7 @@ class LakeTable:
         ``read()`` exactly (pinned by tests) — the engine's table->event
         direction, mirroring the reference connector's Kafka emission."""
         m = self.manifest(to_version)
+        self._heal_changes(m)
         out = None
         for e in m.change_files:
             if e["version"] < from_version:
@@ -447,9 +554,16 @@ class LakeTable:
         downstream incremental consumers (the subscription analog of the
         reference's Kafka topic). Schema is the CURRENT evolved feed schema;
         older files read missing columns as null. Pair with a checkpoint on
-        the consumer side for exactly-once downstream processing."""
+        the consumer side for exactly-once downstream processing.
+
+        Only PUBLISHED deltas are visible: merge stages each delta under a
+        hidden ``.stage-*`` prefix (Spark's file listing skips dot-paths)
+        and publishes it after its manifest commit wins, so the stream never
+        ingests a phantom delta from a lost commit attempt."""
+        cur = self.manifest()
+        self._heal_changes(cur)
         reader = (spark.readStream
-                  .schema(self._feed_schema(self.manifest(), with_commit=False))
+                  .schema(self._feed_schema(cur, with_commit=False))
                   # each commit's delta is a c{version}.parquet directory
                   .option("recursiveFileLookup", "true"))
         for k, v in reader_options.items():
@@ -473,7 +587,7 @@ class LakeTable:
                              lineage=(m.lineage + [{"commit": m.version + 1, "op": "props"}])[-50:],
                              change_files=m.change_files)
             try:
-                self._commit(new_m)
+                self._commit(new_m, parent=m)
                 return new_m
             except CommitConflict:
                 if attempt >= conflict_retries:
@@ -539,39 +653,106 @@ class LakeTable:
 
     def expire_versions(self, *, keep_last: int = 10) -> int:
         """Snapshot expiry: drop manifest files older than the newest
-        ``keep_last`` versions (time travel to them stops working; their
-        now-unreferenced data files become :meth:`vacuum` targets). Returns
-        the number of manifests removed. The CURRENT version is never
-        touched."""
+        ``keep_last`` versions (time travel to them stops working — an AS OF
+        read of an expired version fails with FileNotFoundError on the
+        MANIFEST, a clear retention error, never a missing-parquet crash,
+        because :meth:`vacuum` only reclaims files no retained manifest
+        references). Returns the number of manifests removed. The CURRENT
+        version is never touched."""
         vs = self._versions()
         victims = vs[:-keep_last] if keep_last > 0 else vs[:-1]
         for v in victims:
             self.io.delete_file(os.path.join(self.log_dir, f"v{v:012d}.json"))
         return len(victims)
 
+    def expire_change_feed(self, *, below_version: int,
+                           conflict_retries: int = 4) -> int:
+        """Change-feed retention: commit a metadata-only version whose
+        ``change_files`` drops entries below ``below_version``. Without this
+        the feed list (and its delta dirs) grows with commit count forever.
+        The dropped deltas stay on disk until every retained manifest that
+        still lists them expires, then :meth:`vacuum` reclaims them —
+        downstream consumers get the full retention window to catch up, and
+        a consumer needing older history must re-bootstrap from a snapshot
+        (exactly Kafka's compacted-topic contract). Returns entries dropped.
+        """
+        attempt = 0
+        while True:
+            m = self.manifest()
+            kept = [e for e in m.change_files if e["version"] >= below_version]
+            dropped = len(m.change_files) - len(kept)
+            if dropped == 0:
+                return 0
+            new_m = Manifest(
+                version=m.version + 1, table=m.table, key_cols=m.key_cols,
+                n_buckets=m.n_buckets, schema_json=m.schema_json,
+                files=m.files, committed=m.committed, properties=m.properties,
+                lineage=(m.lineage + [{"commit": m.version + 1,
+                                       "op": "expire_change_feed",
+                                       "dropped": dropped}])[-50:],
+                change_files=kept)
+            try:
+                self._commit(new_m, parent=m)
+                return dropped
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
+    @staticmethod
+    def _staging_version(name: str) -> int:
+        """Commit version embedded in a staging dir name
+        (``c{v:012d}[-uid]`` / ``.stage-c{v:012d}-uid``); 0 if unparseable
+        (legacy junk — reclaimable when unreferenced)."""
+        s = name[len(".stage-"):] if name.startswith(".stage-") else name
+        if s.startswith("c"):
+            digits = s[1:13]
+            if len(digits) == 12 and digits.isdigit():
+                return int(digits)
+        return 0
+
     def vacuum(self) -> int:
-        """Delete data files not referenced by the current manifest. Returns
-        count removed. (Snapshot expiry: older versions stop being readable.)"""
-        m = self.manifest()
-        live = {os.path.join(self.root, e["path"]) for e in m.files}
-        # live change-feed files keep their whole directory (a feed "file"
-        # is a parquet dir: part files + _SUCCESS markers inside)
-        live_change_dirs = {os.path.join(self.root, e["path"])
-                            for e in m.change_files}
+        """Delete data/feed files no RETAINED manifest references. Returns
+        count removed.
+
+        Retention coupling (standard lakehouse semantics): the live set is
+        the union over every manifest still in the log — a concurrent
+        time-travel reader of any retained version never loses a file under
+        it; run :meth:`expire_versions` first to make old files reclaimable.
+        In-flight protection: a staging dir whose embedded version is AHEAD
+        of the current version may belong to a writer racing toward its
+        commit and is left alone (if that writer loses, the dir's version
+        becomes <= current and the next vacuum reclaims it)."""
+        cur = self.manifest()
+        self._heal_changes(cur)
+        live: set[str] = set()
+        live_change_dirs: set[str] = set()
+        for v in self._versions():
+            m = self.manifest(v)
+            live |= {os.path.join(self.root, e["path"]) for e in m.files}
+            # a feed "file" is a parquet dir (part files + _SUCCESS inside)
+            live_change_dirs |= {os.path.join(self.root, e["path"])
+                                 for e in m.change_files}
         removed = 0
         for sub in ("data", "changes"):
             root = os.path.join(self.root, sub)
             if not self.io.is_dir(root):
                 continue
-            for dirpath, files in self.io.walk_files(root):
-                if any(dirpath.startswith(d) for d in live_change_dirs):
+            for d in self.io.list_dir(root):
+                top = os.path.join(root, d)
+                if not self.io.is_dir(top):
                     continue
-                for f in files:
-                    p = os.path.join(dirpath, f)
-                    if p not in live and (f.endswith(".parquet")
-                                          or f.startswith(".")
-                                          or f.startswith("_")):
-                        self.io.delete_file(p)
-                        removed += 1
-                self.io.remove_dir_if_empty(dirpath)
+                if top in live_change_dirs:
+                    continue
+                if self._staging_version(d) > cur.version:
+                    continue                      # possibly in-flight writer
+                for dirpath, files in self.io.walk_files(top):
+                    for f in files:
+                        p = os.path.join(dirpath, f)
+                        if p not in live and (f.endswith(".parquet")
+                                              or f.startswith(".")
+                                              or f.startswith("_")):
+                            self.io.delete_file(p)
+                            removed += 1
+                    self.io.remove_dir_if_empty(dirpath)
         return removed

