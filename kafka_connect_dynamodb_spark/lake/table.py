@@ -49,6 +49,84 @@ META_COLS = ("_seq", "_deleted")
 SEQ_TYPE = "decimal(38,0)"  # 26-digit DynamoDB seq-nos fit (tests use 26 digits)
 
 
+def _json_stat(v):
+    """Normalize a parquet footer stat to a JSON-safe, totally-ordered value;
+    None = type not usable for pruning (timestamps, exotic logicals)."""
+    from decimal import Decimal
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
+    return None
+
+
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-file min/max column stats from the parquet FOOTER the write just
+    produced (pyarrow metadata read — no data pass). Iceberg collects the
+    same stats into its manifests; here they ride the LakeTable manifest
+    entry so :meth:`LakeTable.scan` can skip files at planning time. Only
+    top-level atomic columns with stats in EVERY row group qualify —
+    anything else is simply not prunable (never wrong, just unpruned)."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:                       # nested leaf: skip
+                bad.add(name.split(".")[0])
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            else:
+                mins[name], maxs[name] = lo, hi
+    return {c: [mins[c], maxs[c]] for c in mins if c not in bad}
+
+
+def _file_may_match(stats: dict[str, list], col: str, op: str, val) -> bool:
+    """Can a file with these stats contain a row satisfying ``col op val``?
+    Missing stats (evolved/unpruned column) => must keep the file."""
+    rng = stats.get(col)
+    if not rng:
+        return True
+    lo, hi = rng
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True          # incomparable predicate value: don't prune
+    raise ValueError(f"unsupported op {op!r}")
+
+
 @dataclass
 class Manifest:
     version: int
@@ -84,15 +162,23 @@ class LakeTable:
     """
 
     def __init__(self, root: str, io: CommitIO | None = None, *,
-                 change_feed: bool = False):
+                 change_feed: bool = False, file_stats: bool = True):
         """``change_feed=True`` makes every MERGE also publish its compacted
         per-commit delta (the LWW winners it applied) under ``changes/`` —
         the engine's CDC-OUT surface, mirroring the reference's table->event
-        emission direction; read back with :meth:`changes`."""
+        emission direction; read back with :meth:`changes`.
+
+        ``file_stats=True`` (default) records per-file min/max column stats
+        in the manifest at commit time (read from the parquet footers the
+        write already produced — metadata-only, no data re-read), enabling
+        :meth:`scan` to skip files by predicate — the Iceberg/Delta
+        data-skipping analog, and the non-key-column complement to the hash
+        bucket pruning MERGE and read_key already use."""
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.io = io if io is not None else PosixCommitIO()
         self.change_feed = change_feed
+        self.file_stats = file_stats
 
     # ------------------------------------------------------------------ log
 
@@ -167,8 +253,14 @@ class LakeTable:
             b = int(d.split("=")[1])
             for f in self.io.list_dir(os.path.join(staged, d)):
                 if f.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(staged, d, f), self.root)
-                    entries.append({"path": rel, "bucket": b})
+                    abs_path = os.path.join(staged, d, f)
+                    rel = os.path.relpath(abs_path, self.root)
+                    entry: dict[str, Any] = {"path": rel, "bucket": b}
+                    if self.file_stats:
+                        stats = _footer_stats(abs_path)
+                        if stats:
+                            entry["stats"] = stats
+                    entries.append(entry)
         return entries
 
     def _read_files(self, spark: SparkSession, schema: T.StructType,
@@ -324,6 +416,41 @@ class LakeTable:
         for c in m.key_cols:
             df = df.filter(F.col(c) == lits[c])
         df = df.filter(~F.col("_deleted"))
+        if not include_meta:
+            df = df.drop(*META_COLS)
+        return df
+
+    def pruned_entries(self, predicates: list[tuple[str, str, Any]],
+                       version: int | None = None) -> list[dict[str, Any]]:
+        """File entries that MAY satisfy every predicate, judged purely from
+        the manifest's per-file stats — the planning-time skip set for
+        :meth:`scan` (exposed for tests/inspection)."""
+        m = self.manifest(version)
+        return [e for e in m.files
+                if all(_file_may_match(e.get("stats") or {}, c, op, v)
+                       for (c, op, v) in predicates)]
+
+    def scan(self, spark: SparkSession,
+             predicates: list[tuple[str, str, Any]], *,
+             include_meta: bool = False,
+             version: int | None = None) -> DataFrame:
+        """Stats-pruned read: ``predicates`` are ``(col, op, value)`` with op
+        in {'==','<','<=','>','>='}, ANDed. Files whose footer-collected
+        [min,max] cannot satisfy a predicate are dropped at PLANNING time
+        from the manifest alone — no listing job, no footer reads at query
+        time; at 100 TB a selective range over a sorted-ish column (commit
+        seq-no, ingest day) turns a full-table scan into a handful of files,
+        on top of parquet row-group pruning inside the survivors. The same
+        predicates are re-applied to the DataFrame, so results are exact
+        (skipping is a superset filter, never wrong)."""
+        m = self.manifest(version)
+        entries = self.pruned_entries(predicates, version)
+        df = self._read_files(spark, m.schema(), entries)
+        df = df.filter(~F.col("_deleted"))
+        for c, op, v in predicates:
+            col = F.col(c)
+            df = df.filter({"==": col == v, "<": col < v, "<=": col <= v,
+                            ">": col > v, ">=": col >= v}[op])
         if not include_meta:
             df = df.drop(*META_COLS)
         return df

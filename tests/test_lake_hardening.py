@@ -261,3 +261,61 @@ def test_rename_commitio_end_to_end_table(spark, tmp_path):
     got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
     assert got == {("r1", "p1"): "v1b", ("r1", "p2"): "v2",
                    ("r2", "p1"): "v3", ("r9", "p9"): "new"}
+
+
+# ------------------------------------------------------- file-stats skipping
+
+def test_scan_prunes_files_by_footer_stats(spark, tmp_path):
+    """Data skipping (Iceberg-manifest analog): per-file min/max collected
+    from the parquet footers at commit time let scan() drop files at
+    planning time; results stay exact because the predicate is re-applied."""
+    t = LakeTable(str(tmp_path / "tbl"))
+    # 4 buckets keyed so each bucket holds one disjoint value range
+    df = spark.createDataFrame(
+        [(i, i * 100, f"pay-{i}") for i in range(40)],
+        "k long, metric long, payload string")
+    t.create(spark, df, ["k"], n_buckets=8)
+    m = t.manifest()
+    assert all("stats" in e for e in m.files)
+    # _seq/_deleted/keys all carry stats; metric is the pruning column here
+    for e in m.files:
+        assert "metric" in e["stats"] and "k" in e["stats"]
+
+    full = len(m.files)
+    kept = t.pruned_entries([("metric", ">=", 3800)])
+    assert 0 < len(kept) < full                      # genuinely skipped files
+    got = {r.k for r in t.scan(spark, [("metric", ">=", 3800)]).collect()}
+    assert got == {38, 39}
+    # == and range both exact
+    assert t.scan(spark, [("metric", "==", 700)]).collect()[0].payload == "pay-7"
+    assert {r.k for r in t.scan(spark, [("metric", ">", 500),
+                                        ("metric", "<=", 900)]).collect()} \
+        == {6, 7, 8, 9}
+
+
+def test_scan_seq_watermark_pruning_after_merges(spark, tmp_path):
+    """The CDC consumer shape: _seq stats let 'changes since watermark'
+    scans skip every file whose max seq-no is below the watermark."""
+    t = _table(spark, tmp_path / "tbl", n_buckets=4)
+    for i in range(3):
+        t.merge(spark, _upd(spark, [("r1", "p1", f"v{i}", "u", 1000 + i)]),
+                batch_id=i)
+    kept = t.pruned_entries([("_seq", ">=", 1002)])
+    assert len(kept) < len(t.manifest().files)
+    rows = t.scan(spark, [("_seq", ">=", 1002)], include_meta=True).collect()
+    assert {(r.repo, r.path) for r in rows} == {("r1", "p1")}
+    assert rows[0].content == "v2"
+
+
+def test_scan_unprunable_column_is_exact_not_wrong(spark, tmp_path):
+    """A column with no stats (e.g. schema-evolved: old files lack it) must
+    disable skipping for those files, never drop them."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark, spark.createDataFrame(
+        [("r9", "p9", "new", "zz-branch", "u", 10)],
+        "repo string, path string, content string, branch string,"
+        " _op string, _seq long"), batch_id=0)
+    # old files have NO 'branch' stats -> kept; predicate still exact
+    got = t.scan(spark, [("branch", "==", "zz-branch")]).collect()
+    assert len(got) == 1 and got[0].repo == "r9"
+    assert t.scan(spark, [("branch", "==", "nope")]).count() == 0
