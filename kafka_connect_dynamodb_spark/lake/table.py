@@ -408,16 +408,10 @@ class LakeTable:
         m = self.manifest()
         if set(key_values) != set(m.key_cols):
             raise ValueError(f"need exactly keys {m.key_cols}")
-        # xxhash64 is input-TYPE-sensitive (an int literal defaults to
-        # IntegerType and hashes differently from a stored LongType column),
-        # so each literal is cast to the table's key dtype before hashing —
-        # the exact expression _bucket_expr evaluated at write time.
         sch = m.schema()
+        bucket = self._bucket_of(spark, m, key_values)
         lits = {c: F.lit(key_values[c]).cast(sch[c].dataType)
                 for c in m.key_cols}
-        bucket = spark.range(1).select(
-            F.pmod(F.xxhash64(*[lits[c] for c in m.key_cols]),
-                   F.lit(m.n_buckets)).cast("int").alias("b")).collect()[0]["b"]
         entries = [e for e in m.files if e["bucket"] == bucket]
         df = self._read_files(spark, sch, entries)
         for c in m.key_cols:
@@ -426,6 +420,21 @@ class LakeTable:
         if not include_meta:
             df = df.drop(*META_COLS)
         return df
+
+    def _bucket_of(self, spark: SparkSession, m: Manifest,
+                   key_values: dict[str, Any]) -> int:
+        """Hash bucket of a concrete key (one 1-row job). xxhash64 is
+        input-TYPE-sensitive (an int literal defaults to IntegerType and
+        hashes differently from a stored LongType column), so each literal
+        is cast to the table's key dtype before hashing — the exact
+        expression _bucket_expr evaluated at write time."""
+        sch = m.schema()
+        lits = [F.lit(key_values[c]).cast(sch[c].dataType)
+                for c in m.key_cols]
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(*lits),
+                   F.lit(m.n_buckets)).cast("int").alias("b")
+        ).collect()[0]["b"]
 
     def pruned_entries(self, predicates: list[tuple[str, str, Any]],
                        version: int | None = None) -> list[dict[str, Any]]:
@@ -449,9 +458,17 @@ class LakeTable:
         seq-no, ingest day) turns a full-table scan into a handful of files,
         on top of parquet row-group pruning inside the survivors. The same
         predicates are re-applied to the DataFrame, so results are exact
-        (skipping is a superset filter, never wrong)."""
+        (skipping is a superset filter, never wrong).
+
+        When every key column carries an equality predicate, the key's hash
+        bucket prunes as well (stats ∩ bucket) — scan() then subsumes
+        read_key with extra predicates on top."""
         m = self.manifest(version)
         entries = self.pruned_entries(predicates, version)
+        eq = {c: v for (c, op, v) in predicates if op == "=="}
+        if all(k in eq for k in m.key_cols):
+            b = self._bucket_of(spark, m, {k: eq[k] for k in m.key_cols})
+            entries = [e for e in entries if e["bucket"] == b]
         df = self._read_files(spark, m.schema(), entries)
         df = df.filter(~F.col("_deleted"))
         for c, op, v in predicates:

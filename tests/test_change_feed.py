@@ -246,9 +246,11 @@ def test_change_feed_retention_expiry(spark, tmp_path):
 
 def test_downstream_table_exactly_once_via_feed(spark, tmp_path):
     """VERDICT r2 stretch #10 — table->event->table composition: a SECOND
-    LakeTable fed solely by the primary's change feed (stream_changes +
-    foreachBatch merge) converges to sha-parity with the primary, INCLUDING
+    LakeTable fed solely by the primary's change feed (streaming.feed.
+    mirror_changes) converges to sha-parity with the primary, INCLUDING
     across a consumer kill/restart that redelivers a micro-batch."""
+    from kafka_connect_dynamodb_spark.streaming.feed import mirror_changes
+
     base = source_table(spark, 80)
     ev = change_events(spark, 80, 400, pre_init_frac=0.0)
 
@@ -261,16 +263,9 @@ def test_downstream_table_exactly_once_via_feed(spark, tmp_path):
     downstream = LakeTable(str(tmp_path / "downstream"))
     downstream.create(spark, base, ["repo", "path"], n_buckets=4)
 
-    def feed_into_downstream(batch_df, batch_id):
-        downstream.merge(batch_df.sparkSession, batch_df,
-                         batch_id=batch_id, source="feed")
-
     def consume():
-        q = (primary.stream_changes(spark)
-                    .writeStream.foreachBatch(feed_into_downstream)
-                    .option("checkpointLocation", str(tmp_path / "cp"))
-                    .trigger(availableNow=True).start())
-        q.awaitTermination()
+        mirror_changes(spark, primary, downstream,
+                       checkpoint_dir=str(tmp_path / "cp")).awaitTermination()
 
     pipe.sync_batch(ev.filter(ev.seq_no % 2 == 0), 0)
     consume()                                   # first consumer run

@@ -319,3 +319,18 @@ def test_scan_unprunable_column_is_exact_not_wrong(spark, tmp_path):
     got = t.scan(spark, [("branch", "==", "zz-branch")]).collect()
     assert len(got) == 1 and got[0].repo == "r9"
     assert t.scan(spark, [("branch", "==", "nope")]).count() == 0
+
+
+def test_scan_bucket_prunes_on_full_key_equality(spark, tmp_path):
+    """scan() subsumes read_key: full key-equality predicates add hash-bucket
+    pruning on top of stats pruning."""
+    t = _table(spark, tmp_path / "tbl", n_buckets=8)
+    preds = [("repo", "==", "r1"), ("path", "==", "p1")]
+    m = t.manifest()
+    b = t._bucket_of(spark, m, {"repo": "r1", "path": "p1"})
+    # plan-time file set is exactly the key's bucket (∩ stats survivors)
+    kept = [e for e in t.pruned_entries(preds) if e["bucket"] == b]
+    rows = t.scan(spark, preds).collect()
+    assert len(rows) == 1 and rows[0].content == "v1"
+    plan = t.scan(spark, preds)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(".parquet") <= max(1, len(kept))
