@@ -97,6 +97,12 @@ class CommitIO:
         Never called on a path any committed manifest references."""
         raise NotImplementedError
 
+    def ensure_dir(self, path: str) -> None:
+        """Make ``path`` exist as a (possibly empty) directory so a file
+        source can subscribe to it before the first object lands. No-op on
+        stores without directories (S3)."""
+        raise NotImplementedError
+
 
 class PosixCommitIO(CommitIO):
     """Local/NFS filesystem implementation (the sandbox + bare-metal path)."""
@@ -150,6 +156,9 @@ class PosixCommitIO(CommitIO):
 
     def remove_tree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def ensure_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
 
 
 class RenameCommitIO(PosixCommitIO):

@@ -713,6 +713,8 @@ class LakeTable:
         ingests a phantom delta from a lost commit attempt."""
         cur = self.manifest()
         self._heal_changes(cur)
+        # a consumer may subscribe BEFORE the first delta is published
+        self.io.ensure_dir(os.path.join(self.root, "changes"))
         reader = (spark.readStream
                   .schema(self._feed_schema(cur, with_commit=False))
                   # each commit's delta is a c{version}.parquet directory

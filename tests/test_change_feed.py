@@ -277,3 +277,58 @@ def test_downstream_table_exactly_once_via_feed(spark, tmp_path):
     consume()                                   # "killed" consumer restarted
 
     assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
+
+
+def test_live_mirror_races_live_tail_to_parity(spark, tmp_path):
+    """Full composition under load (the reference's whole story end-to-end):
+    a processingTime tail applies batches to the primary WHILE a
+    processingTime mirror consumes the feed into a downstream table. Both
+    killed mid-flight, restarted in catch-up mode -> downstream sha-parity
+    with primary, which itself matches the oracle replay."""
+    import time as _time
+
+    from kafka_connect_dynamodb_spark.streaming import tail
+    from kafka_connect_dynamodb_spark.streaming.feed import mirror_changes
+    from tests.oracle import final_hashes, replay
+
+    base = source_table(spark, 120)
+    ev = change_events(spark, 120, 800, pre_init_frac=0.0)
+    slices = [ev.filter(ev.seq_no % 4 == k) for k in range(4)]
+    log, cp_tail, cp_mirror = (str(tmp_path / d) for d in ("log", "cpt", "cpm"))
+
+    primary = LakeTable(str(tmp_path / "primary"), change_feed=True)
+    pipe = CdcPipeline(spark, primary, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    downstream = LakeTable(str(tmp_path / "downstream"))
+    downstream.create(spark, base, ["repo", "path"], n_buckets=4)
+
+    slices[0].coalesce(1).write.mode("append").parquet(log)
+    q_tail = tail.start_tail(spark, log, primary, checkpoint_dir=cp_tail,
+                             init_sync_start=DEFAULT_BASE_TS,
+                             available_now=False,
+                             processing_time="300 milliseconds")
+    q_mirror = mirror_changes(spark, primary, downstream,
+                              checkpoint_dir=cp_mirror, available_now=False,
+                              processing_time="300 milliseconds")
+    try:
+        for k in (1, 2, 3):
+            slices[k].coalesce(1).write.mode("append").parquet(log)
+            _time.sleep(0.7)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and primary.current_version() < 4:
+            _time.sleep(0.3)
+    finally:
+        q_tail.stop()        # kill both mid-flight
+        q_mirror.stop()
+
+    # restart in catch-up mode from the same checkpoints
+    tail.drain(tail.start_tail(spark, log, primary, checkpoint_dir=cp_tail,
+                               init_sync_start=DEFAULT_BASE_TS))
+    mirror_changes(spark, primary, downstream,
+                   checkpoint_dir=cp_mirror).awaitTermination()
+
+    state = replay([r.asDict() for r in base.collect()],
+                   [r.asDict() for r in ev.collect()])
+    assert _sha_state(primary.read(spark)) == final_hashes(state)
+    assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
