@@ -211,6 +211,41 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_build_index(df: DataFrame, path: str, *,
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the inverted-file index AT REST: vectors written
+    partitioned by their coarse cell id (the Spark analog of FAISS inverted
+    lists). One assign+write job; afterwards :func:`ivf_probe_index` reads
+    ONLY the probed cells' directories — partition pruning at the storage
+    layer, which is what makes IVF pay at 100 TB (the in-memory
+    :func:`ivf_topk` recomputes cell ids per query and still scans
+    everything once to filter)."""
+    (df.select(F.col(id_col), F.col(vec_col))
+       .withColumn("_cell", ivf_assign(F.col(vec_col).cast("array<double>"),
+                                       centroids))
+       .write.mode("errorifexists").partitionBy("_cell").parquet(path))
+
+
+def ivf_probe_index(spark, path: str, query_vec: list[float], k: int = 10, *,
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nprobe: int = 2) -> DataFrame:
+    """Top-k against a built index: the ``_cell IN (probes)`` filter is a
+    PARTITION filter, so Spark lists and reads only ~nprobe/n_cells of the
+    index directories (check ``.inputFiles()``/PartitionFilters). Identical
+    results to :func:`ivf_topk` with the same centroids."""
+    qd = sorted((_py_l2(query_vec, c), i + 1)
+                for i, c in enumerate(centroids))
+    probe = [cell for _, cell in qd[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("_cell").isin(*probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def _py_l2(a: list[float], b: list[float]) -> float:
     acc = 0.0
     for x, y in zip(a, b):

