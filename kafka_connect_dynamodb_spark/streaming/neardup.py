@@ -1,0 +1,122 @@
+"""Streaming NEAR-duplicate detection: MinHash-LSH dedup on the way in.
+
+The batch near-dup suite (operators/dedup.py) assumes a corpus at rest; an
+ingest pipeline also wants to flag near-duplicates AS DOCUMENTS ARRIVE
+(crawler re-fetches, boilerplate mirrors). The operator:
+
+1. computes the same codegen'd MinHash band signatures the batch path uses
+   (`dedup.minhash_signature` — column expressions, no UDF),
+2. explodes each document into its ``bands`` (band, band-hash) buckets,
+3. runs a custom stateful operator (``applyInPandasWithState``) keyed by
+   bucket: the state is the FIRST document id that claimed the bucket, with
+   a processing-time TTL; every later document hitting the bucket emits a
+   candidate pair ``(doc_id, dup_of)``.
+
+A document is flagged iff it collides with an EARLIER document in at least
+one band — the batch LSH banding contract specialized to dedup: the batch
+operator emits all in-bucket pairs, the stream emits the star around each
+bucket's first owner (exactly the keep-first/drop-rest shape ingest dedup
+needs). Over a drained log, every flagged (doc, dup_of) is one of the batch
+candidates, and the flagged-doc set is exactly the docs sharing a bucket
+with their bucket's first owner (pinned by tests/test_streaming_dedup.py).
+
+Scale: state is ONE id (+ counter) per occupied bucket, Arrow-batched per
+group, and the TTL bounds it by the ingest horizon instead of the stream's
+lifetime. ``max_bucket_size`` mirrors the batch frequency cap: a degenerate
+bucket (boilerplate shingle pattern) stops emitting pairs after the cap and
+just counts — the quadratic-bucket guard, streaming edition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_connect_dynamodb_spark.operators.dedup import (
+    char_shingles, minhash_signature)
+
+CANDIDATE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("dup_of", T.StringType(), False),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("first_id", T.StringType(), True),
+    T.StructField("hits", T.LongType(), True),
+])
+
+
+def _make_update(max_bucket_size: int, ttl_ms: int | None):
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first, hits = state.get if state.exists else (None, 0)
+        out_doc, out_dup = [], []
+        for pdf in pdfs:
+            # deterministic within-batch order: lexicographic doc id (the
+            # batch operator pairs within sorted buckets)
+            for doc in sorted(pdf["doc_id"]):
+                hits += 1
+                if first is None:
+                    first = doc
+                elif doc != first and hits <= max_bucket_size:
+                    out_doc.append(doc)
+                    out_dup.append(first)
+        state.update((first, hits))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_doc:
+            yield pd.DataFrame({"doc_id": out_doc, "dup_of": out_dup})
+
+    return _update
+
+
+def banded_buckets(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 16,
+                   bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """(bucket_key, doc_id) rows: one per band per document — the same
+    signature arithmetic as the batch ``minhash_lsh_candidates``."""
+    rows_per_band = num_hashes // bands
+    sh = char_shingles(F.col(text_col), shingle_k)
+    sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                      minhash_signature(sh, num_hashes).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(
+                ":", F.lit(b),
+                F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                             for r in range(rows_per_band)]).cast("string"))
+            for b in range(bands)])).alias("bucket")).select("bucket", "doc_id")
+
+
+def neardup_stream(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 16,
+                   bands: int = 4, shingle_k: int = 3,
+                   max_bucket_size: int = 50,
+                   state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming near-dup candidates ``(doc_id, dup_of)`` — a document paired
+    with the FIRST earlier document sharing any LSH band bucket. Distinct
+    downstream if a pair colliding in several bands should appear once.
+
+    ``state_ttl_ms`` evicts bucket owners after a processing-time horizon
+    (bounded state); None keeps owners for the stream's lifetime (exact
+    parity with the batch operator over a full drain)."""
+    buckets = banded_buckets(docs, id_col=id_col, text_col=text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_k=shingle_k)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (buckets.groupBy("bucket")
+            .applyInPandasWithState(
+                _make_update(max_bucket_size, state_ttl_ms),
+                outputStructType=CANDIDATE_SCHEMA,
+                stateStructType=_STATE_SCHEMA, outputMode="append",
+                timeoutConf=timeout))

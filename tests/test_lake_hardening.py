@@ -334,3 +334,26 @@ def test_scan_bucket_prunes_on_full_key_equality(spark, tmp_path):
     assert len(rows) == 1 and rows[0].content == "v1"
     plan = t.scan(spark, preds)._jdf.queryExecution().executedPlan().toString()
     assert plan.count(".parquet") <= max(1, len(kept))
+
+
+def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
+    """A staging dir whose embedded version is AHEAD of the current commit
+    may belong to a writer racing toward its commit: vacuum must leave it
+    alone. Once the version race is decided (current catches up), the next
+    vacuum reclaims it."""
+    t = _table(spark, tmp_path / "tbl")          # current version = 1
+    inflight = os.path.join(t.root, "data", "c000000000009-aaaabbbb")
+    os.makedirs(os.path.join(inflight, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(inflight, "_bucket=0", "part-x.parquet"), "w") as f:
+        f.write("in-flight")
+
+    t.vacuum()
+    assert os.path.exists(os.path.join(inflight, "_bucket=0", "part-x.parquet"))
+
+    # advance the table past version 9 -> the race is decided, dir is orphan
+    for i in range(9):
+        t.update_properties({"tick": str(i)})
+    assert t.current_version() >= 9
+    t.vacuum()
+    assert not os.path.exists(os.path.join(inflight, "_bucket=0",
+                                           "part-x.parquet"))

@@ -72,3 +72,67 @@ def test_batch_fallback_plain_dedup(spark):
     rows = [(1, BASE, "x"), (1, BASE, "x"), (2, BASE, "y")]
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, v string")
     assert dedup_stream(df, ["event_id"]).count() == 2
+
+
+def test_streaming_neardup_matches_batch_banding(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: flagged (doc, dup_of) pairs are the
+    star around each bucket's first owner — a subset of the batch all-pairs
+    candidates — and state carries ACROSS micro-batches (a batch-2 near-dup
+    of a batch-1 doc is flagged against the batch-1 owner)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        minhash_lsh_candidates)
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        banded_buckets, neardup_stream)
+
+    mk = lambda i, txt: (f"d{i:02d}", txt)
+    txt_a = "the quick brown fox jumps over the lazy dog again and again"
+    txt_b = "an entirely different document about spark streaming state"
+    rows_b1 = [mk(1, txt_a), mk(2, txt_b), mk(3, "unrelated third text")]
+    rows_b2 = [mk(4, txt_a + "!"),          # near-dup of d01 (batch 1!)
+               mk(5, txt_b),                # exact dup of d02
+               mk(6, "yet another unique snowflake document")]
+    schema = "doc_id string, text string"
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)   # 2 files -> 2 micro-batches
+    out = neardup_stream(stream, num_hashes=16, bands=4, shingle_k=3)
+    q = (out.writeStream.outputMode("append").format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.doc_id, r.dup_of)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    # expected: per bucket, every non-first member flagged against the
+    # first owner (arrival order: batch 1 before batch 2, lexicographic
+    # within a batch) — recomputed from the same banding, batch-side
+    all_docs = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    buckets = banded_buckets(all_docs, num_hashes=16, bands=4, shingle_k=3)
+    grouped = (buckets.groupBy("bucket")
+                      .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                      .filter(F.size("ids") > 1).collect())
+    want = set()
+    for r in grouped:
+        first = r["ids"][0]       # doc ids sort identically to arrival here
+        for d in r["ids"][1:]:
+            if d != first:
+                want.add((d, first))
+    assert got == want and got    # non-empty and exact
+
+    # every flagged pair is one of the batch operator's candidate pairs
+    batch_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(
+        all_docs, num_hashes=16, bands=4, shingle_k=3).collect()}
+    assert all((min(a, b), max(a, b)) in batch_pairs for a, b in got)
+    # the cross-batch case specifically
+    assert ("d04", "d01") in got and ("d05", "d02") in got
