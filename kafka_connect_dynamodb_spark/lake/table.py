@@ -372,16 +372,45 @@ class LakeTable:
     # ------------------------------------------------------------------ read
 
     def read(self, spark: SparkSession, *, include_meta: bool = False,
-             include_deleted: bool = False, version: int | None = None) -> DataFrame:
+             include_deleted: bool = False, version: int | None = None,
+             columns: list[str] | None = None) -> DataFrame:
         """Current (or time-traveled) live rows; tombstones filtered unless
-        ``include_deleted`` (maintenance/inspection)."""
+        ``include_deleted`` (maintenance/inspection). ``columns`` projects
+        early so column pruning reaches the parquet scan (ReadSchema carries
+        only the requested columns + the meta cols the filter needs)."""
         m = self.manifest(version)
         df = self._read_files(spark, m.schema(), m.files)
+        if columns is not None:
+            df = df.select(*columns, *META_COLS)
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))
         if not include_meta:
             df = df.drop(*META_COLS)
         return df
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit history as a DataFrame (Iceberg ``table.history`` analog):
+        one row per retained version with its stamp, op, source/batch
+        lineage and per-commit metrics — driver-side metadata only, no data
+        files touched."""
+        rows = []
+        for v in self._versions():
+            m = self.manifest(v)
+            last = m.lineage[-1] if m.lineage else {}
+            rows.append({
+                "version": v,
+                "committed_at_ms": m.committed_at_ms,
+                "op": str(last.get("op", "")),
+                "source": str(last.get("source") or ""),
+                "batch_id": last.get("batch_id"),
+                "rows_in": last.get("rows_in"),
+                "buckets_touched": last.get("buckets_touched"),
+                "n_files": len(m.files),
+            })
+        schema = ("version long, committed_at_ms long, op string, "
+                  "source string, batch_id long, rows_in long, "
+                  "buckets_touched long, n_files long")
+        return spark.createDataFrame(rows, schema)
 
     def version_as_of(self, ts_ms: int) -> int:
         """Latest version committed at or before ``ts_ms`` (AS OF reads)."""

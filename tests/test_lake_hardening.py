@@ -357,3 +357,23 @@ def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
     t.vacuum()
     assert not os.path.exists(os.path.join(inflight, "_bucket=0",
                                            "part-x.parquet"))
+
+
+def test_history_and_projected_read(spark, tmp_path):
+    """history() exposes the commit lineage as a frame; read(columns=...)
+    pushes column pruning into the parquet scan (ReadSchema shrinks)."""
+    t = _table(spark, tmp_path / "tbl")
+    t.merge(spark, _upd(spark, [("r1", "p1", "v2", "u", 10)]),
+            batch_id=0, source="stream")
+    h = {r.version: r for r in t.history(spark).collect()}
+    assert h[1].op == "create" and h[2].op == "merge"
+    assert h[2].source == "stream" and h[2].batch_id == 0 and h[2].rows_in == 1
+    stamps = [h[v].committed_at_ms for v in sorted(h)]
+    assert stamps == sorted(stamps)
+
+    proj = t.read(spark, columns=["repo"])
+    assert proj.columns == ["repo"]
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    import re
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "content" not in rs            # pruned column never read
