@@ -708,17 +708,21 @@ class LakeTable:
         direction, mirroring the reference connector's Kafka emission."""
         m = self.manifest(to_version)
         self._heal_changes(m)
-        out = None
-        for e in m.change_files:
-            if e["version"] < from_version:
-                continue
-            df = (spark.read.parquet(os.path.join(self.root, e["path"]))
-                       .withColumn("_commit", F.lit(e["version"]).cast("long")))
-            out = df if out is None else out.unionByName(
-                df, allowMissingColumns=True)
-        if out is not None:
-            return out
-        return spark.createDataFrame([], self._feed_schema(m))
+        sel = [e for e in m.change_files if e["version"] >= from_version]
+        if not sel:
+            return spark.createDataFrame([], self._feed_schema(m))
+        # ONE scan over all selected delta dirs (a per-file union loop would
+        # grow the plan linearly with commit count — a 10k-commit feed must
+        # stay a single FileScan). The commit version is recovered from the
+        # delta dir name (c{version:012d}-{uid}.parquet) via input_file_name;
+        # the explicit CURRENT feed schema null-fills evolved columns in
+        # older files, like every other multi-version read here.
+        schema = self._feed_schema(m, with_commit=False)
+        paths = [os.path.join(self.root, e["path"]) for e in sel]
+        return (spark.read.schema(schema).parquet(*paths)
+                .withColumn("_commit", F.regexp_extract(
+                    F.input_file_name(),
+                    r"/c(\d{12})-[0-9a-f]+\.parquet/", 1).cast("long")))
 
     def _feed_schema(self, m: Manifest, *, with_commit: bool = True) -> T.StructType:
         fields = [f for f in m.schema().fields if f.name != "_deleted"]

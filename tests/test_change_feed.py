@@ -332,3 +332,24 @@ def test_live_mirror_races_live_tail_to_parity(spark, tmp_path):
                    [r.asDict() for r in ev.collect()])
     assert _sha_state(primary.read(spark)) == final_hashes(state)
     assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
+
+
+def test_changes_is_single_scan_not_union(spark, tmp_path):
+    """changes() over N commits must stay ONE FileScan (a per-commit union
+    loop would grow the plan linearly — the 10k-commit-feed scale killer),
+    with _commit recovered from the delta dir name."""
+    base = source_table(spark, 40)
+    ev = change_events(spark, 40, 300, pre_init_frac=0.0)
+    table = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+    pipe = CdcPipeline(spark, table, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    for k in range(3):
+        pipe.sync_batch(ev.filter(ev.seq_no % 3 == k), k)
+    feed = table.changes(spark)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    versions = sorted(r["_commit"] for r in
+                      feed.select("_commit").distinct().collect())
+    assert versions == sorted(e["version"]
+                              for e in table.manifest().change_files)
