@@ -49,17 +49,27 @@ META_COLS = ("_seq", "_deleted")
 SEQ_TYPE = "decimal(38,0)"  # 26-digit DynamoDB seq-nos fit (tests use 26 digits)
 
 
+_MAX_STRING_STAT = 256
+
+
 def _json_stat(v):
     """Normalize a parquet footer stat to a JSON-safe, totally-ordered value;
-    None = type not usable for pruning (timestamps, exotic logicals)."""
+    None = type not usable for pruning (timestamps, exotic logicals).
+
+    Long string stats are rejected outright: parquet writers may TRUNCATE
+    min/max for wide binary values, and a truncated max is a lexicographic
+    PREFIX (smaller than the true max) — pruning on it would wrongly skip
+    files. Short strings (keys, enums, shas) are stored exactly."""
     from decimal import Decimal
-    if isinstance(v, (bool, int, float, str)):
-        return v
     if isinstance(v, bytes):
         try:
-            return v.decode("utf-8")
+            v = v.decode("utf-8")
         except UnicodeDecodeError:
             return None
+    if isinstance(v, str):
+        return v if len(v) < _MAX_STRING_STAT else None
+    if isinstance(v, (bool, int, float)):
+        return v
     if isinstance(v, Decimal):
         return int(v) if v == v.to_integral_value() else float(v)
     return None
