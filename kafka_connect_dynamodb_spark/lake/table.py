@@ -305,7 +305,9 @@ class LakeTable:
         if seq_col is None:
             stored = stored.withColumn("_seq", F.lit(0).cast(SEQ_TYPE))
         else:
-            stored = stored.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE)).drop(seq_col)
+            stored = stored.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE))
+            if seq_col != "_seq":
+                stored = stored.drop(seq_col)
         stored = stored.withColumn("_deleted", F.lit(False))
         data_schema = stored.schema
         stored = stored.withColumn("_bucket", self._bucket_expr(key_cols, n_buckets))
@@ -341,6 +343,13 @@ class LakeTable:
         reset (a resync restarts the stream's exactly-once lineage from
         scratch); the change-feed history is preserved for late consumers.
 
+        On a ``change_feed`` table the new snapshot is ALSO published as a
+        feed delta of op-'r' rows — the reference re-publishes INIT_SYNC
+        records to the topic on resync (DynamoDBSourceTask.java:246-249,318-331),
+        and without it a downstream mirror would silently diverge after a
+        danger-zone re-snapshot. ``streaming.feed.mirror_changes`` detects
+        the 'r' epoch and truncates its table to it.
+
         Losing a commit race (a maintenance job landing mid-resync) retries
         with the SAME staged files under the next version number — manifest
         entries reference exact paths, so the staging dir's embedded version
@@ -352,32 +361,61 @@ class LakeTable:
         if seq_col is None:
             stored = stored.withColumn("_seq", F.lit(0).cast(SEQ_TYPE))
         else:
-            stored = (stored.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE))
-                            .drop(seq_col))
+            stored = stored.withColumn("_seq", F.col(seq_col).cast(SEQ_TYPE))
+            if seq_col != "_seq":
+                stored = stored.drop(seq_col)
         stored = stored.withColumn("_deleted", F.lit(False))
         data_schema = stored.schema
         stored = stored.withColumn("_bucket",
                                    self._bucket_expr(key_cols, n_buckets))
-        entries = self._write_bucketed(stored, m.version + 1)
+        version = m.version + 1
+        entries = self._write_bucketed(stored, version)
+        change_entry: list[dict[str, Any]] = []
+        staged_rel: str | None = None
+        if self.change_feed:
+            import uuid as _uuid
+            uid = _uuid.uuid4().hex[:8]
+            rel = os.path.join("changes", f"c{version:012d}-{uid}.parquet")
+            staged_rel = os.path.join("changes", f".stage-c{version:012d}-{uid}")
+            (stored.drop("_bucket", "_deleted")
+                   .withColumn("_op", F.lit("r"))
+                   .write.mode("errorifexists")
+                   .parquet(os.path.join(self.root, staged_rel)))
+            change_entry = [{"version": version, "path": rel,
+                             "staged": staged_rel, "replace": True}]
         attempt = 0
         while True:
             new_m = Manifest(
-                version=m.version + 1, table=m.table, key_cols=key_cols,
+                version=version, table=m.table, key_cols=key_cols,
                 n_buckets=n_buckets,
                 schema_json=json.dumps(data_schema.jsonValue()),
                 files=entries, committed={}, properties=properties or {},
-                lineage=(m.lineage + [{"commit": m.version + 1,
+                lineage=(m.lineage + [{"commit": version,
                                        "op": "replace",
                                        "files": len(entries)}])[-50:],
-                change_files=m.change_files)
+                change_files=m.change_files + change_entry)
             try:
                 self._commit(new_m, parent=m)
-                return new_m
+                break
             except CommitConflict:
                 if attempt >= conflict_retries:
+                    if staged_rel is not None:
+                        self.io.remove_tree(os.path.join(self.root, staged_rel))
                     raise
                 attempt += 1
                 m = self.manifest()
+                version = m.version + 1
+                if change_entry:
+                    # the feed delta keeps its staged path; only the commit
+                    # version it is published under moves with the retry
+                    rel = os.path.join(
+                        "changes",
+                        f"c{version:012d}-{_uuid.uuid4().hex[:8]}.parquet")
+                    change_entry = [{"version": version, "path": rel,
+                                     "staged": staged_rel, "replace": True}]
+        if staged_rel is not None:
+            self._heal_changes(new_m)
+        return new_m
 
     # ------------------------------------------------------------------ read
 
@@ -764,7 +802,12 @@ class LakeTable:
                   .option("recursiveFileLookup", "true"))
         for k, v in reader_options.items():
             reader = reader.option(k, v)
-        return reader.parquet(os.path.join(self.root, "changes"))
+        # _commit recovered from the delta dir name, as in changes() — lets
+        # consumers order deltas and detect resync ('r') epochs
+        return (reader.parquet(os.path.join(self.root, "changes"))
+                .withColumn("_commit", F.regexp_extract(
+                    F.input_file_name(),
+                    r"/c(\d{12})-[0-9a-f]+\.parquet/", 1).cast("long")))
 
     # ------------------------------------------------------------- properties
 

@@ -36,11 +36,33 @@ def mirror_changes(spark: SparkSession, primary: LakeTable,
 
     ``available_now=True`` drains the published feed and stops (catch-up
     mode); ``processing_time`` runs a continuous mirror.
+
+    Resync epochs: when the primary danger-zone re-snapshots, its
+    ``replace()`` publishes the new snapshot as op-'r' rows (the reference
+    re-publishes INIT_SYNC records to the topic). On seeing them the mirror
+    TRUNCATES to the latest epoch via its own ``replace()`` and applies only
+    deltas from commits after it — pre-resync deltas in the same micro-batch
+    carry real (>0) seq-nos that would otherwise wrongly beat the snapshot's
+    seq-0 rows under LWW. Both paths stay idempotent across checkpoint
+    redelivery (replace converges; merge no-ops on seen batch ids).
     """
+    from pyspark.sql import functions as F
 
     def _apply(batch_df, batch_id: int):
-        downstream.merge(batch_df.sparkSession, batch_df,
-                         batch_id=batch_id, source=source)
+        sp = batch_df.sparkSession
+        r_rows = batch_df.filter(F.col("_op") == "r")
+        epoch = r_rows.agg(F.max("_commit")).collect()[0][0]
+        if epoch is not None:
+            snap = (r_rows.filter(F.col("_commit") == epoch)
+                          .drop("_op", "_commit"))
+            downstream.replace(sp, snap, seq_col="_seq")
+            rest = batch_df.filter((F.col("_op") != "r")
+                                   & (F.col("_commit") > epoch))
+        else:
+            rest = batch_df
+        if rest.limit(1).count():
+            downstream.merge(sp, rest.drop("_commit"),
+                             batch_id=batch_id, source=source)
 
     writer = (primary.stream_changes(spark)
               .writeStream.foreachBatch(_apply)

@@ -353,3 +353,49 @@ def test_changes_is_single_scan_not_union(spark, tmp_path):
                       feed.select("_commit").distinct().collect())
     assert versions == sorted(e["version"]
                               for e in table.manifest().change_files)
+
+
+def test_resync_epoch_propagates_to_mirror(spark, tmp_path):
+    """Danger-zone resync must flow to downstream consumers: replace() on a
+    change_feed table publishes the snapshot as op-'r' rows (the reference
+    re-publishes INIT_SYNC records to the topic), and mirror_changes
+    truncates to the epoch then applies only later commits — so a mirror
+    converges across a resync instead of silently diverging. Stale
+    pre-resync deltas in the same micro-batch (real seq-nos > snapshot's 0)
+    must NOT beat the snapshot rows."""
+    from kafka_connect_dynamodb_spark.streaming.feed import mirror_changes
+
+    base = source_table(spark, 60)
+    ev = change_events(spark, 60, 300, pre_init_frac=0.0)
+
+    primary = LakeTable(str(tmp_path / "primary"), change_feed=True)
+    pipe = CdcPipeline(spark, primary, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    downstream = LakeTable(str(tmp_path / "downstream"))
+    downstream.create(spark, base, ["repo", "path"], n_buckets=4)
+
+    def consume():
+        mirror_changes(spark, primary, downstream,
+                       checkpoint_dir=str(tmp_path / "cp")).awaitTermination()
+
+    # normal deltas, partially consumed...
+    pipe.sync_batch(ev.filter(ev.seq_no % 2 == 0), 0)
+    consume()
+    # ...then MORE deltas the mirror has NOT consumed yet, then a resync:
+    # the unconsumed pre-resync delta and the 'r' epoch land in the same
+    # catch-up drain
+    pipe.sync_batch(ev.filter(ev.seq_no % 2 == 1), 1)
+    resynced = base.withColumn(
+        "content", F.concat(F.col("content"), F.lit("@resync")))
+    pipe.resync(resynced)
+    consume()
+    assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
+    # snapshot rows actually won: content carries the resync marker
+    assert downstream.read(spark).filter(
+        ~F.col("content").endswith("@resync")).count() == 0
+
+    # post-resync stream continues; the mirror keeps converging
+    pipe.sync_batch(ev.filter(ev.seq_no % 3 == 0), 0)
+    consume()
+    assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
