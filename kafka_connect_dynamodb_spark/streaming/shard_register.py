@@ -93,3 +93,28 @@ def final_register(spark, log_dir: str, checkpoint_dir: str,
             .trigger(availableNow=True).start())
     q.awaitTermination()
     return out
+
+
+def safe_tombstone_watermark(register: dict[str, dict[str, Any]]) -> int:
+    """Highest seq-no below which NO future event can arrive: shards deliver
+    in seq order, so any undelivered event on shard s has seq >
+    register[s]["max_seq_no"]; the min across shards is therefore a safe
+    purge watermark for tombstones (T7: a tombstone guards against exactly
+    one hazard — a late, lower-seq update resurrecting a deleted key — and
+    below this watermark that hazard is impossible). Empty register -> 0
+    (purge nothing)."""
+    if not register:
+        return 0
+    return min(int(v["max_seq_no"]) for v in register.values())
+
+
+def gc_tombstones(spark, table, register: dict[str, dict[str, Any]]):
+    """Compact away tombstones that can no longer matter, using the
+    register's safe watermark — the closing of the reference's
+    shardRegister -> cleanup loop (KclRecordProcessor checkpoints up to the
+    committed seq; here the same bookkeeping licenses physical deletion).
+    Returns the new manifest, or None when the watermark licenses nothing."""
+    wm = safe_tombstone_watermark(register)
+    if wm <= 0:
+        return None
+    return table.compact(spark, drop_tombstones_below_seq=wm)
