@@ -102,6 +102,7 @@ class MultiTablePipeline:
                  n_buckets: int = 64,
                  init_sync_delay_s: float = 0.0,
                  max_parallel_tables: int = 8,
+                 change_feed: bool = False,
                  clock: Callable[[], float] = time.time):
         self.spark = spark
         self.source_root = source_root
@@ -111,11 +112,16 @@ class MultiTablePipeline:
         self.n_buckets = n_buckets
         self.init_sync_delay_s = init_sync_delay_s
         self.max_parallel_tables = max_parallel_tables
+        self.change_feed = change_feed
         self.clock = clock
         self.tables: dict[str, _TableRun] = {}
 
     def table_for(self, name: str) -> LakeTable:
-        return LakeTable(os.path.join(self.lake_root, name))
+        """``change_feed=True`` makes every fleet table publish per-commit
+        deltas — the whole fleet becomes a CDC-OUT source for downstream
+        mirrors (streaming.feed.mirror_changes per table)."""
+        return LakeTable(os.path.join(self.lake_root, name),
+                         change_feed=self.change_feed)
 
     def poll(self) -> dict[str, str]:
         """One discovery + sync cycle; returns {table: status}.

@@ -117,3 +117,15 @@ def test_poll_advances_tables_concurrently(spark, tmp_path):
     assert not barrier.broken          # overlapping per-table execution
     for name in ("t1", "t2", "t3"):
         assert mt.read(name).count() > 0   # deletes in the log shrink keys
+
+
+def test_fleet_change_feed_option(spark, tmp_path):
+    """change_feed=True on the fleet: every table's merges publish deltas a
+    downstream mirror can consume."""
+    root, lake = str(tmp_path / "src"), str(tmp_path / "lake")
+    _mk_table(spark, root, "alpha", n_keys=30, n_events=100)
+    mt = MultiTablePipeline(spark, root, lake, n_buckets=4,
+                            change_feed=True, clock=lambda: BASE)
+    assert mt.poll() == {"alpha": "synced"}
+    feed = mt.table_for("alpha").changes(spark)
+    assert feed.count() > 0 and "_op" in feed.columns
