@@ -228,6 +228,21 @@ def q_rollup_order_stats(spark, sf_dir):
                            F.col("o_orderstatus").asc_nulls_first()))
 
 
+def q_grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS ((priority), (status)) — the third member of
+    the grouping family next to ROLLUP/CUBE: per-dimension subtotals only,
+    no cross-combinations, one pass (SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupingSets(
+                [["o_orderpriority"], ["o_orderstatus"]],
+                "o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("string").alias("sum_price"))
+            .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                     F.col("o_orderstatus").asc_nulls_first()))
+
+
 def q_asof_join_last_order(spark, sf_dir):
     """AS-OF join (backward, inclusive): each event matched to the customer's
     latest order at or before the event time. Union+window implementation —
@@ -1026,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": q_anti_join_inactive,
         "semi_join_active_nations": q_semi_join_active_nations,
         "rollup_order_stats": q_rollup_order_stats,
+        "grouping_sets_order_stats": q_grouping_sets_order_stats,
         "cube_order_stats": q_cube_order_stats,
         "q5_region_revenue": q_q5_region_revenue,
         "asof_join_last_order": q_asof_join_last_order,
@@ -1156,6 +1172,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority ASC NULLS FIRST,
+                     o_orderstatus ASC NULLS FIRST""",
+        "grouping_sets_order_stats": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
             ORDER BY o_orderpriority ASC NULLS FIRST,
                      o_orderstatus ASC NULLS FIRST""",
         "q5_region_revenue": """
