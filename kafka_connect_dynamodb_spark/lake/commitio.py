@@ -78,6 +78,12 @@ class CommitIO:
         """Yield (dirpath, filenames) bottom-up under root (vacuum sweep)."""
         raise NotImplementedError
 
+    def file_mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds) of ``path``; raise
+        FileNotFoundError if it vanished. Vacuum's grace-window guard —
+        S3: the object's LastModified; HDFS: FileStatus.modificationTime."""
+        raise NotImplementedError
+
     def remove_dir_if_empty(self, path: str) -> None:
         raise NotImplementedError
 
@@ -140,6 +146,9 @@ class PosixCommitIO(CommitIO):
     def walk_files(self, root: str) -> Iterator[tuple[str, list[str]]]:
         for dirpath, _dirs, files in os.walk(root, topdown=False):
             yield dirpath, files
+
+    def file_mtime(self, path: str) -> float:
+        return os.stat(path).st_mtime
 
     def remove_dir_if_empty(self, path: str) -> None:
         if os.path.isdir(path) and not os.listdir(path):

@@ -358,9 +358,12 @@ class LakeTable:
         the 'r' epoch and truncates its table to it.
 
         Losing a commit race (a maintenance job landing mid-resync) retries
-        with the SAME staged files under the next version number — manifest
-        entries reference exact paths, so the staging dir's embedded version
-        number is cosmetic."""
+        with the SAME staged files under the next version number. The staged
+        dirs are first RE-HOMED to names embedding the new version: vacuum's
+        in-flight guard only protects staging dirs whose embedded version is
+        ahead of the current version, and after the lost race the original
+        number is <= current — without the re-home a concurrent vacuum could
+        reclaim staged files the retried commit is about to reference."""
         m = self.manifest()
         key_cols = list(key_cols) if key_cols is not None else m.key_cols
         n_buckets = n_buckets if n_buckets is not None else m.n_buckets
@@ -412,9 +415,9 @@ class LakeTable:
                 attempt += 1
                 m = self.manifest()
                 version = m.version + 1
+                entries, staged_rel = self._restage(entries, staged_rel,
+                                                    version)
                 if change_entry:
-                    # the feed delta keeps its staged path; only the commit
-                    # version it is published under moves with the retry
                     rel = os.path.join(
                         "changes",
                         f"c{version:012d}-{_uuid.uuid4().hex[:8]}.parquet")
@@ -423,6 +426,33 @@ class LakeTable:
         if staged_rel is not None:
             self._heal_changes(new_m)
         return new_m
+
+    def _restage(self, entries: list[dict[str, Any]], staged_rel: str | None,
+                 version: int) -> tuple[list[dict[str, Any]], str | None]:
+        """Move staged data/delta dirs under names embedding ``version`` and
+        rewrite the entry paths accordingly — keeps a retried replace()'s
+        staging AHEAD of the current version so vacuum's in-flight guard
+        still covers it (one cheap dir rename per retry; the data itself is
+        not rewritten)."""
+        import uuid as _uuid
+        if entries:
+            # all entries share one staging top dir: data/c{old:012d}-{uid}
+            old_top = entries[0]["path"].split(os.sep)[:2]
+            assert old_top[0] == "data", entries[0]["path"]
+            old_rel = os.path.join(*old_top)
+            new_rel = os.path.join(
+                "data", f"c{version:012d}-{_uuid.uuid4().hex[:8]}")
+            self.io.move_dir(os.path.join(self.root, old_rel),
+                             os.path.join(self.root, new_rel))
+            entries = [{**e, "path": new_rel + e["path"][len(old_rel):]}
+                       for e in entries]
+        if staged_rel is not None:
+            new_staged = os.path.join(
+                "changes", f".stage-c{version:012d}-{_uuid.uuid4().hex[:8]}")
+            self.io.move_dir(os.path.join(self.root, staged_rel),
+                             os.path.join(self.root, new_staged))
+            staged_rel = new_staged
+        return entries, staged_rel
 
     # ------------------------------------------------------------------ read
 
@@ -436,7 +466,11 @@ class LakeTable:
         m = self.manifest(version)
         df = self._read_files(spark, m.schema(), m.files)
         if columns is not None:
-            df = df.select(*columns, *META_COLS)
+            # a caller naming a meta column (e.g. "_seq") must not duplicate
+            # it against the META_COLS the filter needs; include_meta governs
+            # whether it survives the final drop
+            df = df.select(*[c for c in columns if c not in META_COLS],
+                           *META_COLS)
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))
         if not include_meta:
@@ -957,7 +991,7 @@ class LakeTable:
                 return int(digits)
         return 0
 
-    def vacuum(self) -> int:
+    def vacuum(self, *, grace_s: float = 3600.0) -> int:
         """Delete data/feed files no RETAINED manifest references. Returns
         count removed.
 
@@ -965,10 +999,22 @@ class LakeTable:
         the union over every manifest still in the log — a concurrent
         time-travel reader of any retained version never loses a file under
         it; run :meth:`expire_versions` first to make old files reclaimable.
-        In-flight protection: a staging dir whose embedded version is AHEAD
-        of the current version may belong to a writer racing toward its
-        commit and is left alone (if that writer loses, the dir's version
-        becomes <= current and the next vacuum reclaims it)."""
+        In-flight protection is TWO independent guards:
+
+        * a staging dir whose embedded version is AHEAD of the current
+          version may belong to a writer racing toward its commit and is
+          left alone (if that writer loses, the dir's version becomes
+          <= current and a later vacuum reclaims it);
+        * any unreferenced file modified within ``grace_s`` is spared — the
+          modification-time retention Delta's VACUUM uses. The version guard
+          alone is insufficient: a committer that loses its optimistic race
+          holds staging whose embedded version is momentarily <= current
+          until its retry re-homes it (ADVICE r3), and a slow snapshot write
+          can be overtaken by many commits before it ever reaches commit.
+          ``grace_s=0`` reclaims immediately (tests / known-dead writers).
+        """
+        import time as _time
+        now = _time.time()
         cur = self.manifest()
         self._heal_changes(cur)
         live: set[str] = set()
@@ -998,6 +1044,12 @@ class LakeTable:
                         if p not in live and (f.endswith(".parquet")
                                               or f.startswith(".")
                                               or f.startswith("_")):
+                            if grace_s > 0:
+                                try:
+                                    if now - self.io.file_mtime(p) < grace_s:
+                                        continue
+                                except FileNotFoundError:
+                                    continue
                             self.io.delete_file(p)
                             removed += 1
                     self.io.remove_dir_if_empty(dirpath)

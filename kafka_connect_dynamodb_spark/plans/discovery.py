@@ -131,8 +131,10 @@ class MultiTablePipeline:
         jobs a single SparkSession happily multiplexes across its scheduler
         pools, so a fleet of hundreds of tables pays max(wall) per cycle,
         not sum(wall) — the Spark analog of the reference's one-Connect-task-
-        per-table parallelism (README.md:39). The first failure propagates
-        after the cycle completes (statuses of healthy tables still advance).
+        per-table parallelism (README.md:39). Failures propagate after the
+        cycle completes (statuses of healthy tables still advance); if
+        SEVERAL tables fail the same cycle, ALL their exceptions surface in
+        one ExceptionGroup — none is silently swallowed.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -160,8 +162,15 @@ class MultiTablePipeline:
                     max_workers=min(self.max_parallel_tables, len(runs)),
                     thread_name_prefix="table-poll") as pool:
                 futures = [pool.submit(self._advance, r) for r in runs]
-            for f in futures:
-                f.result()          # re-raise the first per-table failure
+            errors = [(r.spec.name, f.exception())
+                      for r, f in zip(runs, futures) if f.exception()]
+            if len(errors) == 1:
+                raise errors[0][1]
+            if errors:
+                raise ExceptionGroup(
+                    "poll failures in tables: "
+                    + ", ".join(n for n, _ in errors),
+                    [e for _, e in errors])
         return {n: r.status for n, r in self.tables.items()}
 
     def _advance(self, run: _TableRun) -> None:

@@ -48,6 +48,10 @@ def mirror_changes(spark: SparkSession, primary: LakeTable,
     """
     from pyspark.sql import functions as F
 
+    from kafka_connect_dynamodb_spark.operators.lww import latest_per_key
+
+    key_cols = list(primary.manifest().key_cols)
+
     def _apply(batch_df, batch_id: int):
         sp = batch_df.sparkSession
         r_rows = batch_df.filter(F.col("_op") == "r")
@@ -60,8 +64,14 @@ def mirror_changes(spark: SparkSession, primary: LakeTable,
                                    & (F.col("_commit") > epoch))
         else:
             rest = batch_df
+        # LakeTable.merge requires ONE row per key (its full-outer join emits
+        # one output row per update row), but a micro-batch spanning several
+        # commits — availableNow catch-up, a lagging mirror — carries one row
+        # per key PER COMMIT. LWW-reduce first, exactly as apply_batch does;
+        # ties on _seq (a redelivered winner) break toward the later commit.
+        rest = latest_per_key(rest, key_cols, ["_seq", "_commit"]).drop("_commit")
         if rest.limit(1).count():
-            downstream.merge(sp, rest.drop("_commit"),
+            downstream.merge(sp, rest,
                              batch_id=batch_id, source=source)
 
     writer = (primary.stream_changes(spark)

@@ -138,7 +138,7 @@ def test_feed_orphan_vacuum_and_crash_redelivery(spark, tmp_path):
     n_feed = table.changes(spark).count()
     assert n_feed > 0
 
-    removed = table.vacuum()
+    removed = table.vacuum(grace_s=0)
     assert removed >= 1
     assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
     # the committed feed is untouched
@@ -177,7 +177,7 @@ def test_staged_delta_never_leaks_to_stream(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == committed_rows  # no phantom
     assert table.changes(spark).count() == committed_rows
 
-    assert table.vacuum() >= 1                      # orphan reclaimed
+    assert table.vacuum(grace_s=0) >= 1                      # orphan reclaimed
     assert not os.path.isdir(orphan)
 
 
@@ -234,11 +234,11 @@ def test_change_feed_retention_expiry(spark, tmp_path):
     assert table.expire_change_feed(below_version=keep_from) == 0
 
     # old manifests still list the old deltas -> still on disk after vacuum
-    table.vacuum()
+    table.vacuum(grace_s=0)
     assert os.path.isdir(os.path.join(table.root, all_entries[0]["path"]))
     # retire those manifests -> vacuum reclaims the expired delta dirs
     table.expire_versions(keep_last=1)
-    table.vacuum()
+    table.vacuum(grace_s=0)
     assert not os.path.isdir(os.path.join(table.root, all_entries[0]["path"]))
     assert os.path.isdir(os.path.join(table.root, all_entries[-1]["path"]))
     assert table.changes(spark).count() > 0
@@ -398,4 +398,42 @@ def test_resync_epoch_propagates_to_mirror(spark, tmp_path):
     # post-resync stream continues; the mirror keeps converging
     pipe.sync_batch(ev.filter(ev.seq_no % 3 == 0), 0)
     consume()
+    assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
+
+
+def test_mirror_multi_commit_batch_lww_reduced(spark, tmp_path):
+    """ADVICE r3 (high): a catch-up mirror's micro-batch spans SEVERAL
+    commits, so the feed carries one row per key PER COMMIT — but
+    LakeTable.merge requires one row per key (its full-outer join emits one
+    output row per update row). mirror_changes must LWW-reduce the batch
+    first; without it the downstream table holds duplicate rows per key and
+    diverges from the primary."""
+    from kafka_connect_dynamodb_spark.streaming.feed import mirror_changes
+
+    base = source_table(spark, 40)
+    ev = change_events(spark, 40, 240, pre_init_frac=0.0)
+
+    primary = LakeTable(str(tmp_path / "primary"), change_feed=True)
+    pipe = CdcPipeline(spark, primary, n_buckets=4,
+                       clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pipe.init_sync(base)
+    downstream = LakeTable(str(tmp_path / "downstream"))
+    downstream.create(spark, base, ["repo", "path"], n_buckets=4)
+
+    # three commits land BEFORE the mirror ever runs -> all three deltas
+    # arrive in ONE availableNow micro-batch, with the same keys repeated
+    # across commits at ascending seq-nos
+    for k in range(3):
+        pipe.sync_batch(ev.filter(ev.seq_no % 3 == k), k)
+    feed = primary.changes(spark)
+    multi = (feed.groupBy("repo", "path").count()
+                 .filter("count > 1").count())
+    assert multi > 0            # the batch genuinely repeats keys
+
+    mirror_changes(spark, primary, downstream,
+                   checkpoint_dir=str(tmp_path / "cp")).awaitTermination()
+
+    dupes = (downstream.read(spark).groupBy("repo", "path").count()
+                       .filter("count > 1").count())
+    assert dupes == 0
     assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))

@@ -129,3 +129,41 @@ def test_fleet_change_feed_option(spark, tmp_path):
     assert mt.poll() == {"alpha": "synced"}
     feed = mt.table_for("alpha").changes(spark)
     assert feed.count() > 0 and "_op" in feed.columns
+
+
+def test_poll_surfaces_all_table_failures(spark, tmp_path):
+    """ADVICE r3 (low): when SEVERAL tables fail in one poll() cycle, every
+    exception must surface (ExceptionGroup), not just the first-submitted
+    one; healthy tables still advance."""
+    import pytest
+
+    root = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    for name in ("ok1", "bad1", "bad2"):
+        _mk_table(spark, root, name, n_keys=20, n_events=60)
+
+    mt = MultiTablePipeline(spark, root, lake, n_buckets=4,
+                            clock=lambda: BASE)
+    orig_advance = mt._advance
+
+    def flaky_advance(run):
+        if run.spec.name.startswith("bad"):
+            raise RuntimeError(f"boom:{run.spec.name}")
+        return orig_advance(run)
+
+    mt._advance = flaky_advance
+    with pytest.raises(ExceptionGroup) as ei:
+        mt.poll()
+    msgs = sorted(str(e) for e in ei.value.exceptions)
+    assert msgs == ["boom:bad1", "boom:bad2"]
+    assert mt.tables["ok1"].status == "synced"
+
+    # exactly one failure -> the bare exception propagates (not a group)
+    def one_bad(run):
+        if run.spec.name == "bad1":
+            raise RuntimeError("boom:bad1")
+        return orig_advance(run)
+
+    mt._advance = one_bad
+    with pytest.raises(RuntimeError, match="boom:bad1"):
+        mt.poll()

@@ -135,10 +135,10 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     # retention coupling: while version 1's manifest is retained, its DATA
     # files are not reclaimable (only _SUCCESS/.crc markers are) — a
     # concurrent reader of v1 must never crash
-    t.vacuum()
+    t.vacuum(grace_s=0)
     assert t.read(spark, version=1).count() == 3   # time travel intact
     t.expire_versions(keep_last=1)
-    removed = t.vacuum()
+    removed = t.vacuum(grace_s=0)
     assert removed > 0  # the rewritten bucket's old file, now unreferenced
     # table still reads fine
     assert t.read(spark).count() == 3
@@ -225,7 +225,7 @@ def test_crashed_staging_does_not_block_redelivery(spark, tmp_path):
     assert res["version"] == 2 and not res.get("skipped")
     got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
     assert got[("r1", "p1")] == "NEW"
-    removed = t.vacuum()
+    removed = t.vacuum(grace_s=0)
     assert removed >= 1                      # the junk file is reclaimed
     assert not os.path.exists(os.path.join(orphan, "_bucket=0",
                                            "part-junk.parquet"))

@@ -42,13 +42,13 @@ def test_retained_version_reader_survives_vacuum(spark, tmp_path):
         t.merge(spark, _upd(spark, [("r1", "p1", f"v{i+2}", "u", 10 + i)]),
                 batch_id=i)
     old_reader = t.read(spark, version=1)        # lazily pinned to v1 files
-    t.vacuum()                                    # all 4 versions retained
+    t.vacuum(grace_s=0)                                    # all 4 versions retained
     got = {(r.repo, r.path): r.content for r in old_reader.collect()}
     assert got[("r1", "p1")] == "v1"             # v1 data intact post-vacuum
 
     # expiry then vacuum: v1 becomes unreadable with a CLEAR retention error
     t.expire_versions(keep_last=1)
-    assert t.vacuum() > 0
+    assert t.vacuum(grace_s=0) > 0
     with pytest.raises(FileNotFoundError):
         t.manifest(1)
     # current version unaffected
@@ -257,7 +257,7 @@ def test_rename_commitio_end_to_end_table(spark, tmp_path):
                                 ("r9", "p9", "new", "c", 11)]), batch_id=0)
     t.compact(spark)
     t.expire_versions(keep_last=1)
-    t.vacuum()
+    t.vacuum(grace_s=0)
     got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
     assert got == {("r1", "p1"): "v1b", ("r1", "p2"): "v2",
                    ("r2", "p1"): "v3", ("r9", "p9"): "new"}
@@ -347,14 +347,14 @@ def test_vacuum_spares_inflight_staging_dirs(spark, tmp_path):
     with open(os.path.join(inflight, "_bucket=0", "part-x.parquet"), "w") as f:
         f.write("in-flight")
 
-    t.vacuum()
+    t.vacuum(grace_s=0)
     assert os.path.exists(os.path.join(inflight, "_bucket=0", "part-x.parquet"))
 
     # advance the table past version 9 -> the race is decided, dir is orphan
     for i in range(9):
         t.update_properties({"tick": str(i)})
     assert t.current_version() >= 9
-    t.vacuum()
+    t.vacuum(grace_s=0)
     assert not os.path.exists(os.path.join(inflight, "_bucket=0",
                                            "part-x.parquet"))
 
@@ -377,3 +377,79 @@ def test_history_and_projected_read(spark, tmp_path):
     import re
     rs = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert "content" not in rs            # pruned column never read
+
+
+# ------------------------------------------------- replace retry vs vacuum
+
+def test_replace_retry_restages_and_survives_vacuum(spark, tmp_path):
+    """ADVICE r3 (medium): replace() losing its commit race retries with the
+    SAME staged files, whose dir names embed the ORIGINAL (now <= current)
+    version — outside vacuum's version-ahead guard. Worst-case interleaving
+    pinned here: the racer lands a commit AND runs vacuum before our retry.
+    Two guards must both hold: vacuum's mtime grace window spares the fresh
+    staging, and the retry re-homes the staged dirs under the new version
+    (restoring the version-ahead invariant for grace-less vacuums)."""
+    t = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+    t.create(spark,
+             spark.createDataFrame(BASE, "repo string, path string, content string"),
+             ["repo", "path"], n_buckets=4)
+    racer = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+
+    class RaceAndVacuum(PosixCommitIO):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                racer.update_properties({"racer": "yes"})   # steals v2
+                racer.vacuum()          # default grace: must spare staging
+            return super().put_if_absent(path, payload)
+
+    t.io = RaceAndVacuum()
+    snap = spark.createDataFrame(
+        [("r1", "p1", "resynced"), ("r9", "p9", "new")],
+        "repo string, path string, content string")
+    m = t.replace(spark, snap)
+    assert t.io.raced and m.version == 3     # create=1, racer=2, replace=3
+
+    # restage pinned: every entry now lives under a v3-named staging dir
+    assert all(e["path"].startswith("data/c000000000003-")
+               for e in m.files), m.files
+    got = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got == {("r1", "p1"): "resynced", ("r9", "p9"): "new"}
+    # feed delta re-published under the new version and readable
+    feed = t.changes(spark)
+    assert {r["_commit"] for r in feed.select("_commit").collect()} == {3}
+    # a later grace-less vacuum must not touch the now-live files
+    t.io = PosixCommitIO()
+    t.vacuum(grace_s=0)
+    assert t.read(spark).count() == 2
+
+
+def test_vacuum_grace_window_spares_fresh_orphans(spark, tmp_path):
+    """The mtime grace window alone: a freshly-staged orphan with an
+    embedded version <= current (a committer mid-retry) survives a default
+    vacuum and is reclaimed once the grace is waived."""
+    t = _table(spark, tmp_path / "tbl")
+    orphan = os.path.join(t.root, "data", "c000000000001-deadbeef")
+    os.makedirs(os.path.join(orphan, "_bucket=0"), exist_ok=True)
+    p = os.path.join(orphan, "_bucket=0", "part-junk.parquet")
+    with open(p, "w") as f:
+        f.write("junk")
+    assert t.vacuum() == 0                       # fresh: spared by grace
+    assert os.path.exists(p)
+    assert t.vacuum(grace_s=0) >= 1              # waived: reclaimed
+    assert not os.path.exists(p)
+
+
+def test_read_columns_may_name_meta_cols(spark, tmp_path):
+    """ADVICE r3 (low): read(columns=[... '_seq' ...]) must not duplicate
+    the meta column in the projection; include_meta still governs whether
+    meta survives."""
+    t = _table(spark, tmp_path / "tbl")
+    df = t.read(spark, columns=["repo", "_seq"], include_meta=True)
+    assert df.columns == ["repo", "_seq", "_deleted"]
+    assert df.count() == 3
+    # without include_meta the meta cols are dropped even if requested
+    assert t.read(spark, columns=["repo", "_seq"]).columns == ["repo"]

@@ -115,7 +115,7 @@ def test_time_travel_as_of_and_expiry(spark, tmp_path):
     assert table.read(spark).count() == now.count()
     with pytest.raises(FileNotFoundError):
         table.version_as_of(t_between)
-    assert table.vacuum() >= 0  # old files now unreferenced-only
+    assert table.vacuum(grace_s=0) >= 0  # old files now unreferenced-only
 
 
 def test_point_lookup_reads_one_bucket(spark, tmp_path):
@@ -177,7 +177,7 @@ def test_compaction_races_live_tail_to_parity(spark, tmp_path):
             except CommitConflict:
                 conflicts += 1          # lost every retry: acceptable for
                                         # maintenance, the tail must proceed
-            table.vacuum()
+            table.vacuum(grace_s=0)
             _time.sleep(0.5)
         deadline = _time.time() + 90
         while _time.time() < deadline:
