@@ -66,6 +66,33 @@ def test_query_matches_oracle(spark, duck, name):
     assert sr == dr, f"{name}: values differ, e.g. {mismatches}"
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.BASELINE_QUERIES))
+def test_crossjoin_baselines_match_oracle(spark, duck, name):
+    """The two declared crossJoin baselines live OUTSIDE the 50-entry driver
+    registry (gate caps at 50 rows) but keep the identical oracle contract
+    here — same normalization, same DuckDB views."""
+    sdf = entrymod.BASELINE_QUERIES[name](spark, SF_DIR)
+    res = duck.sql(entrymod.BASELINE_ORACLE_SQL[name])
+    sc, sr = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = _norm(list(res.columns), res.fetchall())
+    assert sc == dc, f"{name}: schema {sc} != {dc}"
+    assert sr == dr, f"{name}: values differ"
+
+
+def test_registry_fits_driver_gate():
+    """The driver emits at most 50 CORRECTNESS rows (first 50 dict entries,
+    observed r2/r3); the registry must stay exactly at the cap with every
+    entry oracle-backed so every operator gets a hard signal."""
+    qs = entrymod.queries()
+    assert len(qs) == 50, len(qs)
+    missing = [n for n in qs if n not in entrymod.oracle_sql()]
+    assert not missing, missing
+    # the previously-uncertified entries are inside the gate window
+    names = list(qs)
+    assert "cdc_salted_hot_key_agg" in names[:50]
+    assert "multimodal_features" in names[:50]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
