@@ -25,6 +25,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
 REPLAY_KEYS = int(os.environ.get("BENCH_REPLAY_KEYS", "100000"))
 
+# A/B attribution toggles (VERDICT r3 next #2): rerun with BENCH_FILE_STATS=0
+# or BENCH_CHANGE_FEED=1 to isolate commit-path feature cost on the replay.
+FILE_STATS = os.environ.get("BENCH_FILE_STATS", "1") != "0"
+CHANGE_FEED = os.environ.get("BENCH_CHANGE_FEED", "0") == "1"
+
 HEADLINE = [
     "cdc_apply_final_state",
     "cdc_lww_latest_per_key",
@@ -79,13 +84,15 @@ def main() -> None:
         base = source_table(spark, REPLAY_KEYS)
 
         # JIT/codegen + page-cache warm-up on a slice (untimed)
-        warm_tbl = LakeTable(os.path.join(work, "warm"))
+        warm_tbl = LakeTable(os.path.join(work, "warm"),
+                             change_feed=CHANGE_FEED, file_stats=FILE_STATS)
         warm = CdcPipeline(spark, warm_tbl, n_buckets=64,
                            clock=lambda: DEFAULT_BASE_TS.timestamp())
         warm.init_sync(base.limit(20000))
         warm.sync_batch(spark.read.parquet(log_dir).limit(100000), 0)
 
-        table = LakeTable(os.path.join(work, "tbl"))
+        table = LakeTable(os.path.join(work, "tbl"),
+                          change_feed=CHANGE_FEED, file_stats=FILE_STATS)
         pipe = CdcPipeline(spark, table, n_buckets=64,
                            clock=lambda: DEFAULT_BASE_TS.timestamp())
         t0 = time.perf_counter()
@@ -114,6 +121,8 @@ def main() -> None:
         "cdc_replay_events_per_sec": round(REPLAY_EVENTS / timings["cdc_replay"], 1),
         "cdc_final_rows": final_rows,
         "cpus": CPUS,
+        "file_stats": FILE_STATS,
+        "change_feed": CHANGE_FEED,
     }
     print(json.dumps(out))
 

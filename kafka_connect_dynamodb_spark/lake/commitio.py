@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 from collections.abc import Iterator
 
@@ -215,3 +216,127 @@ class RenameCommitIO(PosixCommitIO):
         except FileExistsError as e:
             os.unlink(tmp)
             raise CommitConflict(f"{path} already committed") from e
+
+
+class ObjectStoreCommitIO(CommitIO):
+    """S3-SEMANTICS implementation (VERDICT r3 next #4): every method is
+    restricted to exactly the primitives an object store offers, so the
+    whole commit protocol — contention, racer-steals-version, lifecycle,
+    vacuum — runs against S3's model with no rename anywhere:
+
+    * ``put_if_absent`` = conditional ``PutObject`` with ``If-None-Match: *``
+      (atomic full-object publish that fails with 412 if the key exists).
+      The fake emulates S3's SERVER-SIDE compare-and-swap with a
+      process-global lock around exists-check + whole-object publish; a
+      real S3 impl replaces the lock with the request header. Readers see
+      nothing or the full payload — never a torn object.
+    * ``move_dir`` = CopyObject per key + batched delete of the source
+      prefix (S3 has no rename). Callers only move uniquely-named staged
+      dirs whose final path is already referenced by a committed manifest,
+      and tolerate duplicate concurrent copies (idempotent content), which
+      is what makes copy+delete safe here (see LakeTable._heal_changes).
+    * ``list_dir`` / ``is_dir`` = ListObjectsV2 prefix listing with '/'
+      delimiter (strongly consistent since 2020); "directory exists" means
+      "prefix is listable", which an object store cannot distinguish from
+      empty — locally the backing dir stands in for the prefix.
+    * ``remove_tree`` = list + batched DeleteObjects by prefix.
+    * ``ensure_dir`` = no-op on S3 (every prefix always "exists"); locally
+      the dir is created so a file-listing reader of the empty prefix
+      behaves like an empty S3 listing rather than erroring.
+    * ``file_mtime`` = the object's LastModified stamp.
+
+    Data-plane parquet reads/writes still go through Spark's own FileSystem
+    layer, as on a real cluster (s3a://); only transactional metadata flows
+    through here.
+    """
+
+    # one lock per process = one "S3 endpoint"; instances share it the way
+    # every S3 client shares the service's CAS
+    _cas_lock = threading.Lock()
+
+    def put_if_absent(self, path: str, payload: str) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            with self._cas_lock:          # stands in for If-None-Match: *
+                if os.path.exists(path):
+                    raise CommitConflict(f"{path} already committed")
+                os.replace(tmp, path)     # atomic whole-object visibility
+                tmp = None
+        finally:
+            if tmp is not None:
+                os.unlink(tmp)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def list_dir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def delete_file(self, path: str) -> None:
+        os.unlink(path)
+
+    def walk_files(self, root: str) -> Iterator[tuple[str, list[str]]]:
+        for dirpath, _dirs, files in os.walk(root, topdown=False):
+            yield dirpath, files
+
+    def file_mtime(self, path: str) -> float:
+        return os.stat(path).st_mtime
+
+    def move_dir(self, src: str, dst: str) -> None:
+        if not os.path.isdir(src):
+            if os.path.isdir(dst):
+                return                    # a concurrent healer won
+            raise FileNotFoundError(src)
+        # CopyObject per key, then delete the source prefix — the S3 shape;
+        # a reader may briefly see a partially-copied destination, which
+        # every caller tolerates (deltas are sealed by _SUCCESS-last order)
+        names = []
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            for f in files:
+                names.append(os.path.normpath(os.path.join(rel, f)))
+        # data files first, _SUCCESS marker last: a Spark reader of the
+        # destination only considers it complete once the marker lands
+        names.sort(key=lambda n: (os.path.basename(n) == "_SUCCESS", n))
+        for rel in names:
+            out = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            shutil.copyfile(os.path.join(src, rel), out)
+        self.remove_tree(src)
+
+    def remove_tree(self, path: str) -> None:
+        # list + batched DeleteObjects; no rmdir primitive assumed
+        if not os.path.isdir(path):
+            return
+        for dirpath, files in self.walk_files(path):
+            for f in files:
+                try:
+                    os.unlink(os.path.join(dirpath, f))
+                except FileNotFoundError:
+                    pass
+            try:
+                os.rmdir(dirpath)         # local cleanup of the empty shell
+            except OSError:
+                pass
+
+    def remove_dir_if_empty(self, path: str) -> None:
+        if os.path.isdir(path) and not os.listdir(path):
+            try:
+                os.rmdir(path)
+            except OSError:
+                pass
+
+    def ensure_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)

@@ -124,6 +124,7 @@ def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
     never the full table, then broadcast the k*dim floats into the assign
     expression). Empty cells keep their previous centroid.
     """
+    spark = df.sparkSession
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
@@ -134,21 +135,10 @@ def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
     try:
         if v.count() < k:
             raise ValueError(f"need >= {k} vectors to fit {k} cells")
-        first = v.orderBy(F.xxhash64("id"), "id").limit(1).collect()[0]["v"]
-        cents = [list(first)]
-        while len(cents) < k:
-            d2s = []
-            for c in cents:
-                carr = F.array(*[F.lit(float(x)) for x in c])
-                d2s.append(F.aggregate(
-                    F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x))
-            far = (v.select("id", "v",
-                            F.array_min(F.array(*d2s)).alias("_d"))
-                    .orderBy(F.col("_d").desc(), "id").limit(1).collect())
-            cents.append(list(far[0]["v"]))
+        cents = _kmeans_parallel_init(spark, v, k)
         for _ in range(iters):
-            assigned = v.withColumn("_cell", ivf_assign(F.col("v"), cents))
+            assigned = (_join_min_d2(spark, v, cents, keep_cell=True)
+                        .select("v", F.col("cell").alias("_cell")))
             stats = (assigned.select("_cell", F.posexplode("v"))
                              .groupBy("_cell", "pos")
                              .agg(F.sum("col").alias("s"),
@@ -157,7 +147,7 @@ def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
             acc: dict[int, list[float]] = {}
             cnt: dict[int, int] = {}
             for r in stats:
-                cell = r["_cell"] - 1            # ivf_assign is 1-based
+                cell = r["_cell"] - 1            # cells are 1-based
                 acc.setdefault(cell, [0.0] * len(cents[0]))[r["pos"]] = r["s"]
                 cnt[cell] = r["n"]
             cents = [[x / cnt[c] for x in acc[c]] if c in cnt else cents[c]
@@ -165,6 +155,98 @@ def kmeans_fit(df: DataFrame, k: int, *, vec_col: str = "embedding",
     finally:
         v.unpersist()
     return cents
+
+
+def _cand_df(spark, cents: list[list[float]]):
+    """Candidate centroids as a (cell, c) broadcast frame — the assign step
+    is a broadcast join + min_by argmin, so PLAN size stays constant in k
+    (the literal-array form ivf_assign uses grows O(k*dim) and is kept only
+    for small-k query paths the SQL oracle mirrors)."""
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, c array<double>")
+
+
+def _d2_col():
+    return F.aggregate(F.zip_with(F.col("v"), F.col("c"),
+                                  lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _join_min_d2(spark, v, cents: list[list[float]], *, keep_cell: bool):
+    """(id, v, d2[, cell]) of the nearest candidate per vector via
+    broadcast-join argmin; ties break to the lowest cell id (the exact
+    tie rule of ivf_assign's array_position-of-min)."""
+    j = (v.join(F.broadcast(_cand_df(spark, cents)))
+          .select("id", "v", "cell", _d2_col().alias("d2")))
+    agg = j.groupBy("id", "v").agg(F.min(F.struct("d2", "cell")).alias("m"))
+    cols = [F.col("id"), F.col("v"), F.col("m.d2").alias("d2")]
+    if keep_cell:
+        cols.append(F.col("m.cell").alias("cell"))
+    return agg.select(*cols)
+
+
+def _kmeans_parallel_init(spark, v, k: int, *, rounds: int = 3,
+                          oversample: int | None = None) -> list[list[float]]:
+    """Deterministic k-means||-style init (scalable k-means++, Bahmani et
+    al., VLDB'12 — public method): a few rounds each sample ~2k candidates
+    with probability proportional to d^2 from the current candidate set,
+    then the candidate pool is weighted by cluster population and reduced
+    to k centers driver-side. Replaces the farthest-point traversal that
+    issued k sequential driver jobs with O(k^2*dim) literal plan growth
+    (VERDICT r3 next #6): now O(rounds) jobs with constant-size plans, so
+    k=256+ fits in bounded time. Determinism: hash-threshold sampling on
+    (id, round), deterministic caps/orderings, greedy weighted reduction."""
+    ell = oversample if oversample is not None else 2 * k
+    first = v.orderBy(F.xxhash64("id"), "id").limit(1).collect()[0]["v"]
+    cands: list[list[float]] = [list(first)]
+    for r in range(rounds):
+        scored = _join_min_d2(spark, v, cands, keep_cell=False)
+        sum_d2 = scored.agg(F.sum("d2")).collect()[0][0] or 0.0
+        if sum_d2 <= 0.0:
+            break                        # every point coincides with a candidate
+        u = (F.pmod(F.xxhash64(F.col("id"), F.lit(r)), F.lit(1 << 32))
+              .cast("double") / float(1 << 32))
+        picked = (scored
+                  .filter(u < F.lit(float(ell)) * F.col("d2") / F.lit(sum_d2))
+                  .orderBy(F.xxhash64("id"), "id")
+                  .limit(2 * ell).collect())
+        cands.extend(list(row["v"]) for row in picked)
+    if len(cands) < k:
+        # sparse sampling round(s): top up with the farthest points
+        far = (_join_min_d2(spark, v, cands, keep_cell=False)
+               .orderBy(F.col("d2").desc(), "id").limit(k - len(cands))
+               .collect())
+        cands.extend(list(row["v"]) for row in far)
+    # weight candidates by the population they attract (one assign job)
+    weights = {r["cell"]: r["n"] for r in
+               _join_min_d2(spark, v, cands, keep_cell=True)
+               .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    w = [float(weights.get(i + 1, 0)) for i in range(len(cands))]
+    return _weighted_greedy_reduce(cands, w, k)
+
+
+def _weighted_greedy_reduce(cands: list[list[float]], w: list[float],
+                            k: int) -> list[list[float]]:
+    """Reduce the candidate pool to k centers driver-side: greedy weighted
+    farthest-point (the deterministic stand-in for weighted k-means++'s
+    random draw) — next center maximizes weight * d^2 to the chosen set.
+    Pool size is O(rounds*oversample) (a few thousand rows max), so the
+    O(|pool|*k*dim) driver arithmetic is trivial."""
+    import numpy as np
+    a = np.asarray(cands, dtype=np.float64)
+    wv = np.asarray(w, dtype=np.float64)
+    if len(cands) <= k:
+        return [list(c) for c in cands]
+    chosen = [int(np.lexsort((np.arange(len(wv)), -wv))[0])]  # max weight, lowest idx
+    d2 = ((a - a[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        score = wv * d2
+        score[chosen] = -1.0
+        nxt = int(score.argmax())        # ties -> lowest index (argmax rule)
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((a - a[nxt]) ** 2).sum(axis=1))
+    return [list(a[i]) for i in chosen]
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
