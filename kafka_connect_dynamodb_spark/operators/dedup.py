@@ -38,6 +38,9 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df  # rdd introspection is undefined on streaming frames
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # df.rdd here is a driver-side PLAN conversion (no job runs, nothing is
+    # computed) purely to read the partition count; cheap, but not free —
+    # callers invoke fan_out once per pipeline, never per batch
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -186,12 +186,44 @@ class MultiTablePipeline:
             info = run.pipeline.load_state()
         if os.path.isdir(run.spec.log_path):
             from datetime import datetime, timezone
-            start = datetime.fromtimestamp(info.init_sync_start / 1000,
-                                           tz=timezone.utc)
-            tail.drain(tail.start_tail(
-                self.spark, run.spec.log_path, run.pipeline.table,
-                checkpoint_dir=run.checkpoint_dir, source=run.spec.name,
-                init_sync_start=start, metrics=run.metrics))
+
+            from kafka_connect_dynamodb_spark.operators.apply import (
+                DangerZoneError)
+
+            def _drain(sync_start_ms: int, *, danger: bool) -> None:
+                start = datetime.fromtimestamp(sync_start_ms / 1000,
+                                               tz=timezone.utc)
+                tail.drain(tail.start_tail(
+                    self.spark, run.spec.log_path, run.pipeline.table,
+                    checkpoint_dir=run.checkpoint_dir, source=run.spec.name,
+                    init_sync_start=start, metrics=run.metrics,
+                    clock=(lambda: datetime.fromtimestamp(
+                        self.clock(), tz=timezone.utc)) if danger else None))
+
+            try:
+                # danger clock armed per micro-batch, the reference's SYNC-
+                # state check (DynamoDBSourceTask.java:318-331, F3)
+                _drain(info.init_sync_start, danger=True)
+            except Exception as e:
+                # a DangerZoneError raised inside foreachBatch surfaces from
+                # awaitTermination wrapped in StreamingQueryException
+                if not (isinstance(e, DangerZoneError)
+                        or "DangerZoneError" in str(e)):
+                    raise
+                # T1 recovery INSIDE the fleet poll: re-snapshot THIS table
+                # (one atomic replace) and re-drain the failed batch against
+                # it. Danger stays disarmed for the recovery drain — the
+                # reference's post-resync catch-up skips events the new
+                # snapshot already covers without re-checking them
+                # (DynamoDBSourceTask.java:373-381); the next poll() cycle
+                # re-arms the clock. Sibling tables are untouched (their
+                # _advance runs concurrently in this same cycle).
+                run.pipeline.resync(
+                    self.spark.read.parquet(run.spec.snapshot_path))
+                _drain(run.pipeline.load_state().init_sync_start,
+                       danger=False)
+                run.status = "resynced"
+                return
         run.status = "synced"
 
     def read(self, name: str):

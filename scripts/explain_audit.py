@@ -23,23 +23,16 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
-def main() -> None:
-    import __spark_entry__ as entrymod
+def hot_path_section(spark, log_dir: str = "/tmp/explain-audit-log"):
+    """(title, plan, checks) for the CDC hot path — shared by the PLANS.md
+    generator and tests/test_plan_shapes.py (VERDICT r3 next #8: a plan
+    regression fails CI instead of waiting for a human to reread PLANS.md)."""
     from kafka_connect_dynamodb_spark.operators.apply import prepare_winners
-    from kafka_connect_dynamodb_spark.session import get_spark
     from kafka_connect_dynamodb_spark.sources.generator import change_events
 
-    # AQE re-plans at runtime, so pre-execution formatted plans hide codegen
-    # ids; disable it here ONLY so the audit shows the codegen spans (the
-    # engine itself runs with AQE on).
-    spark = get_spark("explain-audit", cores=4, shuffle_partitions=8,
-                      extra_conf={"spark.sql.adaptive.enabled": "false"})
-    sections: list[tuple[str, str, list[str]]] = []
-
-    # --- CDC hot path: events -> filters -> key parse -> LWW winners
     ev = change_events(spark, 1000, 5000)
-    ev.write.mode("overwrite").parquet("/tmp/explain-audit-log")
-    log = spark.read.parquet("/tmp/explain-audit-log")
+    ev.write.mode("overwrite").parquet(log_dir)
+    log = spark.read.parquet(log_dir)
     winners = prepare_winners(log)
     p = plan_of(winners)
     checks = []
@@ -52,13 +45,21 @@ def main() -> None:
     checks.append(("whole-stage codegen spans present", "codegen id" in p))
     checks.append(("partial+final agg (map-side combine) for LWW",
                    p.count("SortAggregate") >= 2 or p.count("HashAggregate") >= 2))
-    sections.append((
-        "CDC hot path: prepare_winners (filters -> key parse -> LWW dedup)",
-        p, checks))
+    return ("CDC hot path: prepare_winners (filters -> key parse -> LWW dedup)",
+            p, checks)
 
-    # --- headline queries
-    qs = entrymod.queries()
-    audit = {
+
+def query_section(spark, sf_dir: str, name: str):
+    """(title, plan, checks) for one audited headline query."""
+    import __spark_entry__ as entrymod
+    wanted = QUERY_AUDIT[name]
+    p = plan_of(entrymod.queries()[name](spark, sf_dir))
+    checks = [(w[0], (w[1] in p) == (w[2] if len(w) > 2 else True))
+              for w in wanted]
+    return (f"query: {name}", p, checks)
+
+
+QUERY_AUDIT = {
         "q1_pricing_summary": [
             ("filter pushed to parquet scan", "PushedFilters: ["),
             ("hash aggregate (partial+final)", "HashAggregate"),
@@ -117,11 +118,19 @@ def main() -> None:
             ("bounded per-group state (top-k window)", "WindowGroupLimit"),
         ],
     }
-    for name, wanted in audit.items():
-        p = plan_of(qs[name](spark, SF_DIR))
-        checks = [(w[0], (w[1] in p) == (w[2] if len(w) > 2 else True))
-                  for w in wanted]
-        sections.append((f"query: {name}", p, checks))
+
+
+def main() -> None:
+    from kafka_connect_dynamodb_spark.session import get_spark
+
+    # AQE re-plans at runtime, so pre-execution formatted plans hide codegen
+    # ids; disable it here ONLY so the audit shows the codegen spans (the
+    # engine itself runs with AQE on).
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=8,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    sections = [hot_path_section(spark)]
+    for name in QUERY_AUDIT:
+        sections.append(query_section(spark, SF_DIR, name))
 
     out = ["# PLANS.md — physical-plan audit (generated by scripts/explain_audit.py)",
            "",

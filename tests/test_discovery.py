@@ -167,3 +167,90 @@ def test_poll_surfaces_all_table_failures(spark, tmp_path):
     mt._advance = one_bad
     with pytest.raises(RuntimeError, match="boom:bad1"):
         mt.poll()
+
+
+def test_fleet_resync_soak_with_mirror_and_siblings(spark, tmp_path):
+    """VERDICT r4 #9 — the untested interaction of r3's features: a
+    danger-zone resync of ONE table inside MultiTablePipeline.poll() while
+    sibling tables keep streaming in the same (parallel) cycle and a
+    downstream mirror races beta's change feed across the resync epoch.
+    Pins sha-parity on every fleet table AND the mirror.
+
+    Oracle note: resync re-reads the table's snapshot dir (in production
+    the re-snapshot includes all changes the source absorbed; here the dir
+    is static), so beta's expected state is replay(snapshot, post-resync
+    batch minus the danger event the new sync start F2-drops)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    from kafka_connect_dynamodb_spark.streaming.feed import mirror_changes
+    from tests.oracle import final_hashes, replay
+
+    def sha_state(df):
+        return {(r["repo"], r["path"]):
+                hashlib.sha256((r["content"] or "").encode()).hexdigest()
+                for r in df.collect()}
+
+    root, lake = str(tmp_path / "src"), str(tmp_path / "lake")
+    # alpha/gamma: healthy siblings; beta: second slice carries the danger event
+    for name in ("alpha", "beta", "gamma"):
+        _mk_table(spark, root, name, n_keys=40, n_events=0)
+    ev = {n: change_events(spark, 40, 240, pre_init_frac=0.0,
+                           danger_event=(n == "beta"))
+          for n in ("alpha", "beta", "gamma")}
+    # decimal(38,0) seq-nos lose precision through float percentile; take
+    # the exact median from the sorted distinct values instead
+    def _median_seq(e):
+        seqs = [r["seq_no"] for r in
+                e.select("seq_no").distinct().orderBy("seq_no").collect()]
+        return seqs[len(seqs) // 2]
+
+    half = {n: _median_seq(e) for n, e in ev.items()}
+    for n in ("alpha", "beta", "gamma"):
+        (ev[n].filter(F.col("seq_no") <= half[n]).coalesce(1)
+              .write.mode("append").parquet(os.path.join(root, n, "log")))
+
+    mt = MultiTablePipeline(spark, root, lake, n_buckets=4,
+                            change_feed=True, clock=lambda: BASE)
+    assert mt.poll() == {n: "synced" for n in ("alpha", "beta", "gamma")}
+
+    # mirror bootstraps from beta's post-slice-1 state, then consumes feed
+    beta = mt.table_for("beta")
+    mirror = LakeTable(str(tmp_path / "mirror"))
+    mirror.create(spark, beta.read(spark), ["repo", "path"], n_buckets=4)
+    cp = str(tmp_path / "cp_mirror")
+    mirror_changes(spark, beta, mirror, checkpoint_dir=cp).awaitTermination()
+    assert sha_state(mirror.read(spark)) == sha_state(beta.read(spark))
+
+    # slice 2: siblings advance normally; beta's slice contains the danger
+    # event (ts = base - 30h) -> poll resyncs beta IN-CYCLE, siblings sync
+    for n in ("alpha", "beta", "gamma"):
+        (ev[n].filter(F.col("seq_no") > half[n]).coalesce(1)
+              .write.mode("append").parquet(os.path.join(root, n, "log")))
+    statuses = mt.poll()
+    assert statuses == {"alpha": "synced", "beta": "resynced",
+                        "gamma": "synced"}
+
+    # sibling parity: full replay of snapshot + all events
+    for n in ("alpha", "gamma"):
+        base_rows = [r.asDict() for r in
+                     spark.read.parquet(os.path.join(root, n, "snapshot")).collect()]
+        want = final_hashes(replay(base_rows,
+                                   [r.asDict() for r in ev[n].collect()]))
+        assert sha_state(mt.read(n)) == want, n
+
+    # beta parity: resynced snapshot + post-resync batch minus danger event
+    base_rows = [r.asDict() for r in
+                 spark.read.parquet(os.path.join(root, "beta", "snapshot")).collect()]
+    cutoff = DEFAULT_BASE_TS.timestamp() - 3600
+    post = (ev["beta"].filter((F.col("seq_no") > half["beta"])
+                              & (F.col("ts").cast("double") > cutoff)))
+    want = final_hashes(replay(base_rows, [r.asDict() for r in post.collect()]))
+    assert sha_state(mt.read("beta")) == want
+
+    # the mirror crosses the resync epoch (r-rows + later deltas in one
+    # catch-up) and converges to the resynced beta
+    mirror_changes(spark, beta, mirror, checkpoint_dir=cp).awaitTermination()
+    assert sha_state(mirror.read(spark)) == sha_state(beta.read(spark))

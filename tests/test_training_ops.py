@@ -380,3 +380,42 @@ def test_kmeans_fit_k256_bounded_time_and_recall(spark):
     got = [r.vec_id for r in similarity.ivf_topk(
         emb, q, k=10, nprobe=32, centroids=cents).collect()]
     assert len(set(exact) & set(got)) >= 7
+
+
+def test_pil_decoder_guard_without_pillow():
+    """Where Pillow is ABSENT the real-codec adapter raises the seam's
+    NotImplementedError (the documented stub boundary); where it's present
+    the skip-marked test below exercises a real decode instead."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present; covered by test_pil_decoder_real_decode")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow not installed"):
+        multimodal.pil_decoder(b"\x89PNG")
+
+
+def test_pil_decoder_real_decode(spark):
+    """VERDICT r4 #7: with Pillow installed, a REAL decode runs through the
+    exact mapInPandas seam fake_decoder exercises — same schema, same
+    batch shape, FEATURE_DIM floats in [0,1]."""
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not in container")
+    import io
+
+    def png_bytes(i: int) -> bytes:
+        img = Image.new("RGB", (8, 8), (i * 9 % 256, i * 17 % 256, i * 29 % 256))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+
+    rows = [(i, "image", bytearray(png_bytes(i)), None) for i in range(6)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media, decoder=multimodal.pil_decoder)
+    got = out.select("media_id", "features").collect()
+    assert len(got) == 6
+    for r in got:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    resized = multimodal.resize_images(media, 4, 4,
+                                       resizer=multimodal.pil_resizer).collect()
+    assert all(r.meta.width == 4 and r.meta.height == 4 for r in resized)
