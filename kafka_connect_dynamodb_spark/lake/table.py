@@ -467,8 +467,10 @@ class LakeTable:
         """Move staged data/delta dirs under names embedding ``version`` and
         rewrite the entry paths accordingly — keeps a retried replace()'s
         staging AHEAD of the current version so vacuum's in-flight guard
-        still covers it (one cheap dir rename per retry; the data itself is
-        not rewritten)."""
+        still covers it. One dir rename per retry on POSIX/HDFS (the data
+        is not rewritten); on an object store move_dir is copy+delete, paid
+        only on the rare resync-loses-its-commit-race path, and vacuum's
+        mtime grace window independently protects the staging either way."""
         import uuid as _uuid
         if entries:
             # all entries share one staging top dir: data/c{old:012d}-{uid}

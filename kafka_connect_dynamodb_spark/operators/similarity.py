@@ -212,6 +212,11 @@ def _kmeans_parallel_init(spark, v, k: int, *, rounds: int = 3,
                   .orderBy(F.xxhash64("id"), "id")
                   .limit(2 * ell).collect())
         cands.extend(list(row["v"]) for row in picked)
+    # drop exact-duplicate candidates (a duplicate would attract zero weight
+    # and, in a <=k pool, leak into the result as a duplicate center)
+    seen: set = set()
+    cands = [c for c in cands
+             if tuple(c) not in seen and not seen.add(tuple(c))]
     if len(cands) < k:
         # sparse sampling round(s): top up with the farthest points
         far = (_join_min_d2(spark, v, cands, keep_cell=False)
