@@ -336,3 +336,71 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming").distinct())
+
+
+# ------------------------------------------------- dedup clusters (CC)
+
+def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> ``(id, component)`` with
+    component = MIN id in the component — the step that turns pairwise
+    near-dup output (MinHash/SimHash/embedding buckets) into dedup CLUSTERS
+    a pipeline can pick one representative from.
+
+    Hash-min label propagation, pure DataFrame ops: each round every node
+    takes the min label among itself and its neighbors; converged when no
+    label changes. Near-dup components are banding cliques or short chains
+    (tiny diameter), so 2-4 rounds converge; ``max_iter`` bounds adversarial
+    chains and a non-converged run raises rather than returning wrong
+    labels. Each round is one equi-join + one min-aggregate, both shuffled
+    on id — linear in |edges|, no driver-side graph. ``localCheckpoint``
+    truncates the iterative lineage so round N's plan does not replay
+    rounds 1..N-1."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (edges.join(labels,
+                                       edges.dst == labels.id)
+                            .groupBy("src")
+                            .agg(F.min("label").alias("nmin")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels.id == neighbor_min.src, "left")
+                          .select(F.col("id"),
+                                  F.least(F.col("label"),
+                                          F.coalesce(F.col("nmin"),
+                                                     F.col("label")))
+                                  .alias("label"))
+                          .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological chain length; raise max_iter)")
+    finally:
+        edges.unpersist()
+
+
+def dedup_by_components(docs: DataFrame, pairs: DataFrame, *,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE representative per near-dup cluster (the min id — stable
+    and partitioning-independent) plus every unpaired doc: the standard
+    corpus-dedup reduction from pairwise candidates to a cleaned corpus.
+    One broadcast-or-shuffle anti-join against the non-representative ids;
+    docs never shuffle their payload through the component computation."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")

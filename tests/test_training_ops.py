@@ -419,3 +419,61 @@ def test_pil_decoder_real_decode(spark):
     resized = multimodal.resize_images(media, 4, 4,
                                        resizer=multimodal.pil_resizer).collect()
     assert all(r.meta.width == 4 and r.meta.height == 4 for r in resized)
+
+
+def test_connected_components_chain_clique(spark):
+    """Hash-min label propagation: a 5-chain (diameter stress), a 3-clique
+    and an isolated pair each collapse to their min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),          # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),            # clique {10,11,12}
+         (20, 21)],                               # pair
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_recursive_oracle(spark):
+    """End-to-end on real near-dup pairs (sf0.001 minhash banding): the
+    Spark label propagation must equal DuckDB's recursive-CTE transitive
+    closure over the SAME edge set."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    pdf = pairs.toPandas()
+    assert len(pdf) > 0
+    con = duckdb.connect()
+    con.register("pairs", pdf)
+    want = {int(r[0]): int(r[1]) for r in con.sql("""
+        WITH RECURSIVE
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+        SELECT id, min(r) FROM reach GROUP BY id""").fetchall()}
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    kept = dedup.dedup_by_components(docs, pairs)
+    comp = dedup.connected_components(pairs)
+    n_docs = docs.count()
+    n_clustered = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    # every doc either survives untouched (unpaired) or its cluster
+    # contributes exactly its min-id representative
+    assert kept.count() == n_docs - n_clustered + n_clusters
+    reps = {r["component"] for r in comp.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert reps <= kept_ids
+    losers = {r["id"] for r in comp.collect()} - reps
+    assert not (losers & kept_ids)
