@@ -115,3 +115,81 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
     return df.withColumn(out_col, F.sha2(F.concat_ws(",", F.transform(
         smallest, lambda x: x.cast("string"))), 256))
+
+
+# ------------------------------------------------------- corpus term scoring
+
+def term_frequencies(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, token, tf) — lowercase whitespace tokens with per-doc counts.
+    One explode + one map-side-combined groupBy; the shared first stage of
+    TF-IDF and BM25."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+              .groupBy("id", "token").agg(F.count("*").alias("tf")))
+
+
+def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", top_k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf(t,d) * ln(N / df(t)), ties broken
+    by token asc — the standard keyword/topic signal a corpus pipeline
+    extracts before filtering or mixing.
+
+    Scale shape: token stream shuffles once to (id, token) counts (map-side
+    combine bounds it at distinct pairs), document frequencies aggregate to
+    vocabulary size, and the tf×df join shuffles on token (both sides
+    already keyed there). Per-doc top-k is a ranking window — Spark plans
+    WindowGroupLimit, so no global sort and only k rows per doc survive the
+    partial rank."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()                       # one scalar job, embedded as lit
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "token")
+                .withColumn("tf_idf",
+                            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy("id").orderBy(F.col("tf_idf").desc(), F.col("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= top_k)
+                  .select(F.col("id").alias(id_col), "token", "tf",
+                          "df", "tf_idf", "rk"))
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10) -> DataFrame:
+    """BM25 document ranking for a bag-of-terms query (the classic retrieval
+    scorer; also the relevance filter training-data pipelines run against
+    seed queries):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len/avg))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Scale shape: the token stream is filtered to the query terms BEFORE the
+    (id, token) aggregate, so the expensive shuffles carry only matching
+    tokens; document frequencies for the handful of query terms broadcast
+    into the scoring join; doc lengths ride a separate tiny aggregate. The
+    final top-k is TakeOrderedAndProject."""
+    n_docs = df.count()
+    terms = [t.lower() for t in query_terms]
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.lower(F.col(text_col)))).alias("token")))
+    lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    avg_dl = lens.agg(F.avg("dl")).collect()[0][0]
+    qtf = (toks.filter(F.col("token").isin(*terms))
+               .groupBy("id", "token").agg(F.count("*").alias("tf")))
+    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+             + F.lit(b) * F.col("dl") / F.lit(float(avg_dl))))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (qtf.join(F.broadcast(dfreq), "token")
+                 .join(lens, "id")
+                 .groupBy("id")
+                 .agg(F.sum(contrib).alias("bm25")))
+    return (scored.select(F.col("id").alias(id_col), "bm25")
+                  .orderBy(F.col("bm25").desc(), F.col(id_col))
+                  .limit(top_k))

@@ -477,3 +477,81 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     assert reps <= kept_ids
     losers = {r["id"] for r in comp.collect()} - reps
     assert not (losers & kept_ids)
+
+
+def test_tf_idf_matches_duckdb_oracle(spark):
+    """TF-IDF scores (pre-ranking) match DuckDB term-by-term; ranking is
+    checked structurally on the Spark side (float near-ties could legally
+    order differently across engines at the top-k boundary)."""
+    import duckdb
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    tf = text.term_frequencies(docs)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "token")
+                .withColumn("tf_idf", F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))))
+    got = {(r["id"], r["token"]): (r["tf"], r["df"], r["tf_idf"])
+           for r in scored.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(r"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(trim(text)), '\s+')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, token, tf, df,
+               tf * ln(CAST(n.n AS DOUBLE) / df) AS tf_idf
+        FROM tf JOIN dfq USING (token) CROSS JOIN n""").fetchall()
+    assert len(got) == len(want) > 0
+    for doc_id, token, tfv, dfv, tfidf in want:
+        g = got[(doc_id, token)]
+        assert g[0] == tfv and g[1] == dfv
+        assert math.isclose(g[2], tfidf, rel_tol=1e-9), (doc_id, token)
+
+    top = text.tf_idf_top_terms(docs, top_k=5)
+    per_doc = top.groupBy("doc_id").agg(F.count("*").alias("k"),
+                                        F.max("rk").alias("maxrk")).collect()
+    assert all(r["k"] <= 5 and r["maxrk"] <= 5 for r in per_doc)
+    assert top.count() > 0
+
+
+def test_bm25_matches_duckdb_oracle(spark):
+    import duckdb
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["the", "data", "model"]
+    got = {r["doc_id"]: r["bm25"]
+           for r in text.bm25_scores(docs, terms, top_k=10**9).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = dict(con.sql(r"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(trim(text)), '\s+')) AS token FROM documents),
+        lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT avg(dl) AS avgdl FROM lens),
+        n AS (SELECT count(*) AS n FROM documents),
+        qtf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('the', 'data', 'model') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1)
+        SELECT doc_id,
+               sum(ln(1.0 + (CAST(n.n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+        FROM qtf JOIN dfq USING (token) JOIN lens USING (doc_id)
+        CROSS JOIN stats CROSS JOIN n
+        GROUP BY doc_id""").fetchall())
+    assert len(got) == len(want) > 0
+    for doc_id, score in want.items():
+        assert math.isclose(got[doc_id], score, rel_tol=1e-9), doc_id
+    # ranking surface: top-10 is deterministic and ordered
+    top = text.bm25_scores(docs, terms, top_k=10).collect()
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True) and len(top) == 10
