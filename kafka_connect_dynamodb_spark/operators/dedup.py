@@ -404,3 +404,91 @@ def dedup_by_components(docs: DataFrame, pairs: DataFrame, *,
     losers = comp.filter(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+# ----------------------------------------- exact-substring (n-gram) dedup
+
+def _window_hashes(df: DataFrame, n: int, id_col: str, text_col: str):
+    """(id, pos, h, dl): one row per n-token window (pos is 0-based), plus
+    the doc's token length. The window hash is xxhash64 over the
+    space-joined n tokens — O(n) chars hashed per position, the standard
+    shingle cost; everything is codegen'd array/transform expressions."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (fan_out(df)
+            .select(F.col(id_col).alias("id"), toks.alias("toks"))
+            .withColumn("dl", F.size("toks"))
+            .filter(F.col("dl") >= n))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.col("dl") - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"),
+                                                      i + 1, F.lit(n)))))
+    return (base.select("id", "dl", F.posexplode(wins).alias("pos", "h")))
+
+
+def duplicated_ngrams(df: DataFrame, *, n: int = 20,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      min_docs: int = 2,
+                      max_example_docs: int = 10) -> DataFrame:
+    """Cross-document repeated n-token spans — the exact-substring dedup
+    signal (boilerplate, licenses, templated text) that pairwise MinHash
+    misses when only a SPAN repeats, not the whole document.
+
+    Two map-side-combined aggregates: (h, id) first (so the second shuffle
+    carries one row per hash per doc, never per occurrence), then per-hash
+    doc counts. ``example_doc_ids`` is capped and NULL for hashes hotter
+    than the cap — a million-doc boilerplate hash must not materialize a
+    million-element set on one reducer."""
+    per_doc = (_window_hashes(df, n, id_col, text_col)
+               .groupBy("h", "id").agg(F.count("*").alias("occ")))
+    return (per_doc.groupBy("h")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("occ").alias("n_occurrences"),
+                 F.when(F.count("*") <= max_example_docs,
+                        F.sort_array(F.collect_list("id")))
+                  .alias("example_doc_ids"))
+            .filter(F.col("n_docs") >= min_docs)
+            .withColumnRenamed("h", "ngram_hash"))
+
+
+def doc_duplicated_span_fraction(df: DataFrame, *, n: int = 20,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 min_docs: int = 2) -> DataFrame:
+    """Per-document fraction of tokens covered by cross-document duplicated
+    n-grams — THE filter metric exact-substring dedup pipelines threshold
+    on (drop or trim docs whose duplicated coverage exceeds x%).
+
+    The covered-token count is an INTERVAL UNION of [pos, pos+n) spans done
+    with one ranking window (running max of span ends; each span contributes
+    its non-overlapped suffix) — no per-token explosion, so the cost per doc
+    is O(duplicated windows), not O(tokens * n). Docs shorter than n tokens
+    report 0.0."""
+    from pyspark.sql import Window
+
+    wh = _window_hashes(df, n, id_col, text_col)
+    dup_h = (wh.groupBy("h")
+             .agg(F.count_distinct("id").alias("nd"))
+             .filter(F.col("nd") >= min_docs)
+             .select("h"))
+    spans = wh.join(dup_h, "h", "left_semi")
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("pos") + n).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + n - F.greatest(F.col("pos"),
+                                      F.coalesce(prev_end, F.col("pos"))))
+    covered = (spans.withColumn("c", contrib)
+               .groupBy("id").agg(F.max("dl").alias("dl"),
+                                  F.sum("c").alias("covered")))
+    all_docs = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_dl"))
+    return (all_docs.join(covered, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("covered"), F.lit(0)).alias("dup_tokens"),
+                    F.coalesce(F.col("dl"), F.col("_dl")).alias("n_tokens"),
+                    (F.coalesce(F.col("covered"), F.lit(0))
+                     / F.greatest(F.coalesce(F.col("dl"), F.col("_dl")),
+                                  F.lit(1)).cast("double"))
+                    .alias("dup_fraction")))

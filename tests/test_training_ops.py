@@ -555,3 +555,63 @@ def test_bm25_matches_duckdb_oracle(spark):
     top = text.bm25_scores(docs, terms, top_k=10).collect()
     scores = [r["bm25"] for r in top]
     assert scores == sorted(scores, reverse=True) and len(top) == 10
+
+
+def test_duplicated_ngrams_fixture(spark):
+    boiler = "one two three four five"
+    rows = [(1, f"a b {boiler} x y"), (2, f"p {boiler} q"),
+            (3, "entirely different tokens here today friends")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dup = dedup.duplicated_ngrams(docs, n=5, min_docs=2).collect()
+    assert len(dup) == 1
+    assert dup[0]["n_docs"] == 2 and dup[0]["n_occurrences"] == 2
+    assert dup[0]["example_doc_ids"] == [1, 2]
+
+    frac = {r["doc_id"]: r for r in
+            dedup.doc_duplicated_span_fraction(docs, n=5).collect()}
+    assert (frac[1]["dup_tokens"], frac[1]["n_tokens"]) == (5, 9)
+    assert (frac[2]["dup_tokens"], frac[2]["n_tokens"]) == (5, 7)
+    assert frac[3]["dup_tokens"] == 0 and frac[3]["dup_fraction"] == 0.0
+
+
+def test_dup_span_fraction_interval_union(spark):
+    """Overlapping duplicated windows must count covered TOKENS once (the
+    window-function interval union), not sum window lengths."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [(1, f"c1 c2 {shared} z"), (2, f"{shared} w")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = {r["doc_id"]: r for r in
+            dedup.doc_duplicated_span_fraction(docs, n=5).collect()}
+    # d1: 4 overlapping 5-windows at pos 2..5 -> union [2,10) = 8 tokens of 11
+    assert (frac[1]["dup_tokens"], frac[1]["n_tokens"]) == (8, 11)
+    # d2: windows at pos 0..3 -> union [0,8) = 8 tokens of 9
+    assert (frac[2]["dup_tokens"], frac[2]["n_tokens"]) == (8, 9)
+
+
+def test_doc_dup_fraction_matches_bruteforce(spark):
+    """sf0.001 corpus, n=10: python brute-force (dict of window -> docs,
+    set-union coverage) must agree exactly on dup_tokens and n_tokens."""
+    import math
+    from collections import defaultdict
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           dedup.doc_duplicated_span_fraction(docs, n=10).collect()}
+
+    raw = [(r["doc_id"], (r["text"] or "").strip().lower().split())
+           for r in docs.select("doc_id", "text").collect()]
+    raw = [(d, t if t else [""]) for d, t in raw]
+    win_docs = defaultdict(set)
+    for d, toks in raw:
+        for i in range(len(toks) - 9):
+            win_docs[tuple(toks[i:i + 10])].add(d)
+    for d, toks in raw:
+        covered = set()
+        for i in range(len(toks) - 9):
+            if len(win_docs[tuple(toks[i:i + 10])]) >= 2:
+                covered.update(range(i, i + 10))
+        g = got[d]
+        assert g["n_tokens"] == len(toks), d
+        assert g["dup_tokens"] == len(covered), d
+        assert math.isclose(g["dup_fraction"],
+                            len(covered) / max(len(toks), 1), rel_tol=1e-12)
