@@ -394,15 +394,31 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
 
 
 def dedup_by_components(docs: DataFrame, pairs: DataFrame, *,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Keep ONE representative per near-dup cluster (the min id — stable
-    and partitioning-independent) plus every unpaired doc: the standard
-    corpus-dedup reduction from pairwise candidates to a cleaned corpus.
-    One broadcast-or-shuffle anti-join against the non-representative ids;
-    docs never shuffle their payload through the component computation."""
+                        id_col: str = "doc_id",
+                        score_col: str | None = None) -> DataFrame:
+    """Keep ONE representative per near-dup cluster plus every unpaired
+    doc: the standard corpus-dedup reduction from pairwise candidates to a
+    cleaned corpus.
+
+    Default representative is the MIN id (stable, partitioning-independent,
+    needs no doc payload in the component computation). With ``score_col``
+    (a column of ``docs``, e.g. a quality score) the HIGHEST-scoring member
+    wins instead — ties break to the lower id — which is what production
+    pipelines actually want: dedup should discard the worse copies. Either
+    way docs shuffle once: an anti-join (min-id) or a per-component ranking
+    window over only the clustered docs (score mode)."""
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")) \
-                 .select(F.col("id").alias(id_col))
+    if score_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")) \
+                     .select(F.col("id").alias(id_col))
+        return docs.join(losers, on=id_col, how="left_anti")
+    from pyspark.sql import Window
+
+    clustered = docs.join(comp.withColumnRenamed("id", id_col), on=id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    losers = (clustered.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") > 1).select(id_col))
     return docs.join(losers, on=id_col, how="left_anti")
 
 

@@ -159,7 +159,7 @@ def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
 def bm25_scores(df: DataFrame, query_terms: list[str], *,
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75,
-                top_k: int = 10) -> DataFrame:
+                top_k: int | None = 10) -> DataFrame:
     """BM25 document ranking for a bag-of-terms query (the classic retrieval
     scorer; also the relevance filter training-data pipelines run against
     seed queries):
@@ -171,7 +171,10 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     (id, token) aggregate, so the expensive shuffles carry only matching
     tokens; document frequencies for the handful of query terms broadcast
     into the scoring join; doc lengths ride a separate tiny aggregate. The
-    final top-k is TakeOrderedAndProject."""
+    final top-k is TakeOrderedAndProject — whose selector buffers 2k rows
+    per partition, so k must stay small; ``top_k=None`` returns EVERY
+    matching doc's score via a plain sort instead (never pass a huge k to
+    emulate "all")."""
     n_docs = df.count()
     terms = [t.lower() for t in query_terms]
     toks = (df.select(F.col(id_col).alias("id"),
@@ -190,6 +193,6 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
                  .join(lens, "id")
                  .groupBy("id")
                  .agg(F.sum(contrib).alias("bm25")))
-    return (scored.select(F.col("id").alias(id_col), "bm25")
-                  .orderBy(F.col("bm25").desc(), F.col(id_col))
-                  .limit(top_k))
+    out = (scored.select(F.col("id").alias(id_col), "bm25")
+                 .orderBy(F.col("bm25").desc(), F.col(id_col)))
+    return out if top_k is None else out.limit(top_k)

@@ -527,7 +527,7 @@ def test_bm25_matches_duckdb_oracle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     terms = ["the", "data", "model"]
     got = {r["doc_id"]: r["bm25"]
-           for r in text.bm25_scores(docs, terms, top_k=10**9).collect()}
+           for r in text.bm25_scores(docs, terms, top_k=None).collect()}
 
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
@@ -615,3 +615,21 @@ def test_doc_dup_fraction_matches_bruteforce(spark):
         assert g["dup_tokens"] == len(covered), d
         assert math.isclose(g["dup_fraction"],
                             len(covered) / max(len(toks), 1), rel_tol=1e-12)
+
+
+def test_dedup_by_components_quality_representative(spark):
+    """score_col mode keeps the highest-scoring member of each cluster
+    (ties to the lower id), not the min id."""
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "a2", 0.9), (3, "a3", 0.9),
+         (7, "b", 0.5), (8, "b2", 0.1), (9, "lone", 0.0)],
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "id_a long, id_b long")
+    kept = {r["doc_id"] for r in
+            dedup.dedup_by_components(docs, pairs,
+                                      score_col="quality").collect()}
+    assert kept == {2, 7, 9}     # 2 beats 3 on id tie; 7 beats 8 on score
+    kept_min = {r["doc_id"] for r in
+                dedup.dedup_by_components(docs, pairs).collect()}
+    assert kept_min == {1, 7, 9}
