@@ -180,7 +180,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(tokens(F.lower(F.col(text_col)))).alias("token")))
     lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    avg_dl = lens.agg(F.avg("dl")).collect()[0][0]
+    avg_dl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0  # empty corpus
     qtf = (toks.filter(F.col("token").isin(*terms))
                .groupBy("id", "token").agg(F.count("*").alias("tf")))
     dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))

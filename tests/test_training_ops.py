@@ -633,3 +633,24 @@ def test_dedup_by_components_quality_representative(spark):
     kept_min = {r["doc_id"] for r in
                 dedup.dedup_by_components(docs, pairs).collect()}
     assert kept_min == {1, 7, 9}
+
+
+def test_new_ops_empty_input_safety(spark):
+    """Typed empty inputs must flow through the new operators without
+    first()/collect() crashes: empty pair set, empty corpus."""
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(no_pairs).count() == 0
+
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id long, text string")
+    kept = dedup.dedup_by_components(docs, no_pairs)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.duplicated_ngrams(no_docs, n=3).count() == 0
+    frac = dedup.doc_duplicated_span_fraction(no_docs, n=3)
+    assert frac.count() == 0
+    assert set(frac.columns) == {"doc_id", "dup_tokens", "n_tokens",
+                                 "dup_fraction"}
+    assert text.tf_idf_top_terms(no_docs).count() == 0
+    assert text.bm25_scores(no_docs, ["x"]).count() == 0
