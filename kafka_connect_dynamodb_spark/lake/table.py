@@ -473,10 +473,22 @@ class LakeTable:
         mtime grace window independently protects the staging either way."""
         import uuid as _uuid
         if entries:
-            # all entries share one staging top dir: data/c{old:012d}-{uid}
+            # all entries share one staging top dir: data/c{old:012d}-{uid};
+            # verify that invariant for EVERY entry before rewriting paths —
+            # a stray entry outside the moved dir would otherwise be silently
+            # pointed at a location nothing was moved to (r4 ADVICE low; a
+            # ValueError, not assert, so -O cannot strip the guard)
             old_top = entries[0]["path"].split(os.sep)[:2]
-            assert old_top[0] == "data", entries[0]["path"]
+            if len(old_top) < 2 or old_top[0] != "data":
+                raise ValueError(
+                    f"restage: unexpected staged path layout: {entries[0]['path']!r}")
             old_rel = os.path.join(*old_top)
+            stray = [e["path"] for e in entries
+                     if not e["path"].startswith(old_rel + os.sep)]
+            if stray:
+                raise ValueError(
+                    f"restage: entries span multiple staging dirs "
+                    f"(expected all under {old_rel!r}): {stray[:3]}")
             new_rel = os.path.join(
                 "data", f"c{version:012d}-{_uuid.uuid4().hex[:8]}")
             self.io.move_dir(os.path.join(self.root, old_rel),

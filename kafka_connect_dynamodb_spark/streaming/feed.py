@@ -24,6 +24,48 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka_connect_dynamodb_spark.lake.table import LakeTable
 
 
+def apply_feed_batch(batch_df, batch_id: int, *, downstream: LakeTable,
+                     key_cols: list[str], source: str = "feed") -> None:
+    """One mirror micro-batch: resync-epoch detection, LWW reduction,
+    idempotent merge. Module-level (not a closure) so the empty-batch
+    behavior is directly pinnable by tests.
+
+    ONE probe job per trigger (r4 VERDICT next #5 — previously an idle
+    processing-time tail paid two no-op jobs per trigger): a single
+    aggregate yields both the batch row count (empty → return before any
+    further job) and the latest resync epoch."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.operators.lww import latest_per_key
+
+    sp = batch_df.sparkSession
+    probe = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("_op") == "r", F.col("_commit"))).alias("epoch"),
+    ).collect()[0]
+    if probe["n"] == 0:
+        return
+    epoch = probe["epoch"]
+    if epoch is not None:
+        snap = (batch_df.filter((F.col("_op") == "r")
+                                & (F.col("_commit") == epoch))
+                        .drop("_op", "_commit"))
+        downstream.replace(sp, snap, seq_col="_seq")
+        rest = batch_df.filter((F.col("_op") != "r")
+                               & (F.col("_commit") > epoch))
+        if rest.isEmpty():              # only the resync path can drain rest
+            return
+    else:
+        rest = batch_df
+    # LakeTable.merge requires ONE row per key (its full-outer join emits
+    # one output row per update row), but a micro-batch spanning several
+    # commits — availableNow catch-up, a lagging mirror — carries one row
+    # per key PER COMMIT. LWW-reduce first, exactly as apply_batch does;
+    # ties on _seq (a redelivered winner) break toward the later commit.
+    rest = latest_per_key(rest, key_cols, ["_seq", "_commit"]).drop("_commit")
+    downstream.merge(sp, rest, batch_id=batch_id, source=source)
+
+
 def mirror_changes(spark: SparkSession, primary: LakeTable,
                    downstream: LakeTable, *, checkpoint_dir: str,
                    source: str = "feed",
@@ -46,33 +88,11 @@ def mirror_changes(spark: SparkSession, primary: LakeTable,
     seq-0 rows under LWW. Both paths stay idempotent across checkpoint
     redelivery (replace converges; merge no-ops on seen batch ids).
     """
-    from pyspark.sql import functions as F
-
-    from kafka_connect_dynamodb_spark.operators.lww import latest_per_key
-
     key_cols = list(primary.manifest().key_cols)
 
     def _apply(batch_df, batch_id: int):
-        sp = batch_df.sparkSession
-        r_rows = batch_df.filter(F.col("_op") == "r")
-        epoch = r_rows.agg(F.max("_commit")).collect()[0][0]
-        if epoch is not None:
-            snap = (r_rows.filter(F.col("_commit") == epoch)
-                          .drop("_op", "_commit"))
-            downstream.replace(sp, snap, seq_col="_seq")
-            rest = batch_df.filter((F.col("_op") != "r")
-                                   & (F.col("_commit") > epoch))
-        else:
-            rest = batch_df
-        # LakeTable.merge requires ONE row per key (its full-outer join emits
-        # one output row per update row), but a micro-batch spanning several
-        # commits — availableNow catch-up, a lagging mirror — carries one row
-        # per key PER COMMIT. LWW-reduce first, exactly as apply_batch does;
-        # ties on _seq (a redelivered winner) break toward the later commit.
-        rest = latest_per_key(rest, key_cols, ["_seq", "_commit"]).drop("_commit")
-        if rest.limit(1).count():
-            downstream.merge(sp, rest,
-                             batch_id=batch_id, source=source)
+        apply_feed_batch(batch_df, batch_id, downstream=downstream,
+                         key_cols=key_cols, source=source)
 
     writer = (primary.stream_changes(spark)
               .writeStream.foreachBatch(_apply)

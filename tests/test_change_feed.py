@@ -437,3 +437,37 @@ def test_mirror_multi_commit_batch_lww_reduced(spark, tmp_path):
                        .filter("count > 1").count())
     assert dupes == 0
     assert _sha_state(downstream.read(spark)) == _sha_state(primary.read(spark))
+
+
+def test_mirror_empty_batch_is_one_job_and_no_table_io(spark):
+    """VERDICT r4 next #5: an idle processing-time mirror used to pay TWO
+    no-op Spark jobs per empty trigger (epoch agg + emptiness count) and
+    still reached for latest_per_key. Pin: an empty micro-batch costs
+    exactly ONE probe job and never touches the downstream table."""
+    from kafka_connect_dynamodb_spark.streaming.feed import apply_feed_batch
+
+    calls = []
+
+    class _Recorder:
+        def replace(self, *a, **kw):
+            calls.append("replace")
+
+        def merge(self, *a, **kw):
+            calls.append("merge")
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, content string, "
+            "_seq decimal(38,0), _op string, _commit long")
+    sc = spark.sparkContext
+    sc.setJobGroup("empty-feed-batch", "pin probe job count")
+    try:
+        apply_feed_batch(empty, 7, downstream=_Recorder(),
+                         key_cols=["repo", "path"])
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("empty-feed-batch")
+    assert calls == []
+    # ONE collect action; AQE materializes its partial/final agg stages as
+    # up to two scheduler jobs. The old path (separate epoch agg + emptiness
+    # count + lww plan) spent >= 3.
+    assert len(jobs) <= 2, f"expected one probe action, saw {len(jobs)} jobs"
