@@ -517,6 +517,89 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint_sha(docs).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# r5 rotation: the six corpus operators added in r4 (dedup clustering,
+# TF-IDF, BM25, exact-substring span coverage/stats/trim), certified by the
+# driver gate in place of six near-twin entries whose machinery a sibling
+# row already covers (VERDICT r4 next #1; retirees live in RETIRED_QUERIES).
+# --------------------------------------------------------------------------
+
+def q_dedup_cluster_representatives(spark, sf_dir):
+    """Dedup clustering end-to-end: sha-minhash LSH candidate pairs ->
+    connected components (hash-min label propagation) -> one min-id
+    representative per cluster plus every unpaired doc. Certified against
+    DuckDB's recursive-CTE transitive closure over the SAME edge set."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        dedup_by_components, minhash_lsh_candidates_sha)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates_sha(docs)
+    return dedup_by_components(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+def q_tf_idf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms. The score column is emitted at float32:
+    ln() is not correctly-rounded, so the last ulp of the double differs
+    between the JVM's and DuckDB's libm (measured ~8% of the df domain);
+    float32 absorbs it. Ranking is float32-ordered inside the operator for
+    the same reason, so rk certifies bit-for-bit."""
+    from kafka_connect_dynamodb_spark.operators.text import tf_idf_top_terms
+    docs = _t(spark, sf_dir, "documents")
+    return (tf_idf_top_terms(docs, top_k=3)
+            .select("doc_id", "token", "tf", "df",
+                    F.col("tf_idf").cast("float").alias("tf_idf_f32"), "rk")
+            .orderBy("doc_id", "rk"))
+
+
+def q_bm25_ranking(spark, sf_dir):
+    """BM25 scores for a fixed 3-term query over EVERY matching doc
+    (top_k=None: plain sort, no TakeOrdered buffer). The per-doc score is
+    summed in fixed query-term order inside the operator (float addition
+    is not associative), so the only cross-engine wobble is ln()'s last
+    ulp — absorbed by the float32 output."""
+    from kafka_connect_dynamodb_spark.operators.text import bm25_scores
+    docs = _t(spark, sf_dir, "documents")
+    return (bm25_scores(docs, ["the", "data", "model"], top_k=None)
+            .select("doc_id", F.col("bm25").cast("float").alias("bm25_f32"))
+            .orderBy("doc_id"))
+
+
+def q_dup_span_fraction(spark, sf_dir):
+    """Per-doc fraction of tokens covered by cross-document duplicated
+    10-grams (exact-substring dedup's filter metric): window hashes ->
+    semi-join on duplicated hashes -> ranking-window interval union."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        doc_duplicated_span_fraction)
+    docs = _t(spark, sf_dir, "documents")
+    return doc_duplicated_span_fraction(docs, n=10).orderBy("doc_id")
+
+
+def q_corpus_trim_spans(spark, sf_dir):
+    """Exact-substring TRIM: each doc's text with duplicated 10-gram spans
+    removed (gaps-and-islands merge + O(dl) F.aggregate rebuild). The
+    oracle reconstructs the kept text positionally in SQL."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        trim_duplicated_spans)
+    docs = _t(spark, sf_dir, "documents")
+    return trim_duplicated_spans(docs, n=10).orderBy("doc_id")
+
+
+def q_dup_ngram_stats(spark, sf_dir):
+    """Duplicated-10-gram statistics (n_docs, n_occurrences, capped example
+    id list — NULL over the cap, and the cap bounds the AGGREGATION buffer,
+    r4 ADVICE medium). The xxhash64 gram key is dropped from the projection
+    (not DuckDB-reproducible); the oracle groups by the gram STRING, which
+    the hash is injective over modulo 2^-64 collisions."""
+    from kafka_connect_dynamodb_spark.operators.dedup import duplicated_ngrams
+    docs = _t(spark, sf_dir, "documents")
+    dn = duplicated_ngrams(docs, n=10, min_docs=2, max_example_docs=10)
+    ex = (F.when(F.col("example_doc_ids").isNull(),
+                 F.lit(None).cast("string"))
+           .otherwise(F.concat_ws(",", F.transform(
+               "example_doc_ids", lambda x: x.cast("string")))))
+    return (dn.select("n_docs", "n_occurrences", ex.alias("example_docs"))
+              .orderBy("n_docs", "n_occurrences", "example_docs"))
+
+
 def q_lang_id_docs(spark, sf_dir):
     """Marker-word-vote language ID (deterministic argmax, CJK fast path)."""
     from kafka_connect_dynamodb_spark.operators.text import lang_id
@@ -806,6 +889,29 @@ def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
             WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
 
 
+# corpus dedup/trim operators tokenize LOWERCASED text (unlike _TOKS_SQL)
+_CTOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def _dupwin_ctes(n: int = 10) -> str:
+    """toks + per-position duplicated-window CTEs shared by the
+    exact-substring oracles. The Spark side keys windows by xxhash64 of the
+    space-joined gram; the oracle uses the gram STRING itself — equality of
+    the two keys coincides modulo 2^-64 hash collisions (tokens cannot
+    contain whitespace, so the space-join is injective)."""
+    return f"""
+            WITH toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM documents),
+            winpos AS (SELECT doc_id, tk,
+                              unnest(range(0, greatest(len(tk) - {n - 1}, 0)))
+                                  AS pos
+                       FROM toks),
+            wins AS (SELECT doc_id, pos,
+                            array_to_string(tk[pos+1:pos+{n}], ' ') AS g
+                     FROM winpos),
+            dup AS (SELECT g FROM wins GROUP BY g
+                    HAVING count(DISTINCT doc_id) >= 2)"""
+
+
 def _minhash_jaccard_oracle(threshold=0.5, num_hashes=16, bands=4,
                             max_bucket=50) -> str:
     jac = ("CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
@@ -1033,14 +1139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shard_max_seq": q_cdc_shard_max_seq,
         "cdc_preinit_window_filter": q_cdc_preinit_window_filter,
         "cdc_danger_zone_detect": q_cdc_danger_zone_detect,
-        "cdc_envelope_extract": q_cdc_envelope_extract,
+        "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "cdc_dedup_deliveries": q_cdc_dedup_deliveries,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue_orders": q_q3_top_revenue_orders,
         "topk_per_group": q_topk_per_group,
         "anti_join_inactive": q_anti_join_inactive,
         "semi_join_active_nations": q_semi_join_active_nations,
-        "rollup_order_stats": q_rollup_order_stats,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
         "grouping_sets_order_stats": q_grouping_sets_order_stats,
         "cube_order_stats": q_cube_order_stats,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1051,12 +1157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "order_price_percentiles": q_order_price_percentiles,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "token_count_docs": q_token_count_docs,
-        "doc_quality_score": q_doc_quality_score,
-        "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+        "bm25_ranking": q_bm25_ranking,
+        "dup_span_fraction": q_dup_span_fraction,
         "minhash_jaccard_verified": q_minhash_jaccard_verified,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_signatures": q_simhash_signatures,
+        "corpus_trim_spans": q_corpus_trim_spans,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_docs": q_lang_id_docs,
@@ -1121,10 +1227,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_danger, count(DISTINCT user_id) AS n_keys_affected
             FROM events
             WHERE ts <= (SELECT max(ts) - INTERVAL 20 HOUR FROM events)""",
-        "cdc_envelope_extract": """
-            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-                   count(*) AS n
-            FROM events GROUP BY 1 ORDER BY k_val""",
+        "dedup_cluster_representatives": _minhash_ctes().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1) + """,
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bm a JOIN bm b USING (band, bh)
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+            ORDER BY doc_id""",
         "cdc_dedup_deliveries": """
             SELECT event_type, count(*) AS n_raw,
                    count(DISTINCT event_id) AS n_unique
@@ -1166,12 +1283,19 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT c_nationkey FROM customer
                    WHERE c_custkey IN (SELECT o_custkey FROM orders))
             ORDER BY n_nationkey""",
-        "rollup_order_stats": """
-            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
-            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-            ORDER BY o_orderpriority ASC NULLS FIRST,
-                     o_orderstatus ASC NULLS FIRST""",
+        "tf_idf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
+                          FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT doc_id, token, tf, df,
+                         tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
+                  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY CAST(tfidf AS REAL) DESC, token) AS rk FROM s)
+            SELECT doc_id, token, tf, df, CAST(tfidf AS REAL) AS tf_idf_f32, rk
+            FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
         "grouping_sets_order_stats": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
@@ -1198,20 +1322,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(substr(text, 1, 64)) AS h, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY h""",
-        "token_count_docs": """
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                   length(text) AS n_chars_actual
-            FROM documents ORDER BY doc_id""",
-        "doc_quality_score": """
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-                       FROM documents)
-            SELECT doc_id, len(toks) AS n_tokens,
-                   len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS n_stopwords,
-                   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
-                       / len(toks) AS stopword_ratio
-            FROM t ORDER BY doc_id""",
-        "minhash_lsh_near_dups": _minhash_oracle(),
+        "bm25_ranking": f"""
+            WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
+                          FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len({_CTOKS_SQL})) AS avgdl
+                      FROM documents),
+            lens AS (SELECT doc_id, len({_CTOKS_SQL}) AS dl FROM documents),
+            qtf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                    WHERE token IN ('the', 'data', 'model') GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+            c AS (SELECT doc_id, token,
+                         ln(1.0 + (CAST(stats.n AS DOUBLE) - df + 0.5)
+                            / (df + 0.5)) * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+                  FROM qtf JOIN dfq USING (token) JOIN lens USING (doc_id)
+                  CROSS JOIN stats),
+            p AS (SELECT doc_id,
+                     coalesce(sum(CASE WHEN token = 'the' THEN contrib END), 0.0)
+                   + coalesce(sum(CASE WHEN token = 'data' THEN contrib END), 0.0)
+                   + coalesce(sum(CASE WHEN token = 'model' THEN contrib END), 0.0)
+                       AS bm25
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, CAST(bm25 AS REAL) AS bm25_f32 FROM p
+            ORDER BY doc_id""",
+        "dup_span_fraction": _dupwin_ctes(10) + """,
+            spans AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (g)),
+            m AS (SELECT doc_id, pos,
+                         max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS pe
+                  FROM spans),
+            cov AS (SELECT doc_id,
+                           sum(greatest(0, pos + 10
+                               - greatest(pos, coalesce(pe, pos)))) AS covered
+                    FROM m GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_tokens,
+                   len(t.tk) AS n_tokens,
+                   CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                       / greatest(len(t.tk), 1) AS dup_fraction
+            FROM toks t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id""",
         "minhash_jaccard_verified": _minhash_jaccard_oracle(),
         "ngram_jaccard_pairs": f"""
             WITH t0 AS (SELECT doc_id, substr(text, 1, 16) AS b,
@@ -1226,9 +1376,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
                   len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
             ORDER BY id_a, id_b""",
-        "simhash_signatures": f"""
-            WITH {_SIMHASH_CTE}
-            SELECT doc_id, simhash_bits FROM sig ORDER BY doc_id""",
+        "corpus_trim_spans": _dupwin_ctes(10) + """,
+            cov AS (SELECT DISTINCT w.doc_id, w.pos + p.p AS p
+                    FROM wins w JOIN dup USING (g), range(0, 10) p(p)),
+            posx AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p
+                     FROM toks),
+            pos AS (SELECT doc_id, p, tk[p+1] AS tok FROM posx),
+            kept AS (SELECT pos.doc_id, pos.p, pos.tok
+                     FROM pos LEFT JOIN cov
+                       ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                     WHERE cov.p IS NULL),
+            ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                          count(*) AS n_kept
+                   FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(ka.text_clean, '') AS text_clean,
+                   coalesce(ka.n_kept, 0) AS n_tokens_kept,
+                   len(t.tk) AS n_tokens
+            FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""",
+        "dup_ngram_stats": _dupwin_ctes(10) + """,
+            per_doc AS (SELECT g, doc_id, count(*) AS occ FROM wins
+                        GROUP BY 1, 2),
+            stats AS (SELECT g, count(*) AS n_docs, sum(occ) AS n_occ,
+                             string_agg(CAST(doc_id AS VARCHAR), ','
+                                        ORDER BY doc_id) AS ids
+                      FROM per_doc GROUP BY g)
+            SELECT n_docs, CAST(n_occ AS BIGINT) AS n_occurrences,
+                   CASE WHEN n_docs <= 10 THEN ids END AS example_docs
+            FROM stats WHERE n_docs >= 2
+            ORDER BY n_docs, n_occurrences, example_docs""",
         "simhash_near_dups": f"""
             WITH {_SIMHASH_CTE},
             chunks AS (SELECT doc_id, simhash_bits, c,
@@ -1403,6 +1578,54 @@ def entry(spark: SparkSession) -> DataFrame:
 BASELINE_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "knn_join": q_knn_join,
+}
+
+# r5 rotation (VERDICT r4 next #1): these six RETIRED entries ceded their
+# gate slots to the r4 corpus operators (dedup clustering, TF-IDF, BM25,
+# span fraction/trim/stats). Each retiree's machinery stays certified by a
+# sibling green row (token_count_docs ⊂ bpe_token_count, doc_quality_score
+# ⊂ doc_quality_full, simhash_signatures ⊂ simhash_near_dups,
+# minhash_lsh_near_dups ⊂ minhash_jaccard_verified, cdc_envelope_extract ⊂
+# cdc_envelope_roundtrip, rollup_order_stats ⊂ cube_order_stats) AND keeps
+# the identical oracle contract in pytest
+# (test_driver_contract.py::test_out_of_gate_queries_match_oracle).
+RETIRED_QUERIES = {
+    "cdc_envelope_extract": q_cdc_envelope_extract,
+    "rollup_order_stats": q_rollup_order_stats,
+    "token_count_docs": q_token_count_docs,
+    "doc_quality_score": q_doc_quality_score,
+    "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+    "simhash_signatures": q_simhash_signatures,
+}
+
+RETIRED_ORACLE_SQL = {
+    "cdc_envelope_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY k_val""",
+    "rollup_order_stats": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST""",
+    "token_count_docs": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id""",
+    "doc_quality_score": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS n_stopwords,
+               CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio
+        FROM t ORDER BY doc_id""",
+    "minhash_lsh_near_dups": _minhash_oracle(),
+    "simhash_signatures": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash_bits FROM sig ORDER BY doc_id""",
 }
 
 BASELINE_ORACLE_SQL = {

@@ -47,6 +47,17 @@ HEADLINE = [
     "time_bucket_rollup",
 ]
 
+# r5 additions (rotation round): measured per-query, excluded from the
+# cross-round headline total
+R5_CORPUS_OPS = [
+    "dedup_cluster_representatives",
+    "tf_idf_top_terms",
+    "bm25_ranking",
+    "dup_span_fraction",
+    "corpus_trim_spans",
+    "dup_ngram_stats",
+]
+
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -60,15 +71,25 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
 
-    qs = entrymod.queries()
+    # retirees rotated out of the 50-row driver gate (r5) still bench here,
+    # keeping every HEADLINE key comparable across rounds
+    qs = {**entrymod.RETIRED_QUERIES, **entrymod.queries()}
     for name in HEADLINE:
-        if name not in qs:
-            continue
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm file listing/footer cache
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # r5 corpus operators: timed identically but reported OUT of the
+    # headline total so "value" stays apples-to-apples with r1-r4
+    r5_timings: dict[str, float] = {}
+    for name in R5_CORPUS_OPS:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        r5_timings[name] = round(time.perf_counter() - t0, 3)
 
     # ---- flagship: full two-phase CDC replay at generator scale ----
     from kafka_connect_dynamodb_spark.lake.table import LakeTable
@@ -117,6 +138,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "r5_corpus_ops": r5_timings,
+        "r5_corpus_ops_total_sec": round(sum(r5_timings.values()), 3),
         "cdc_replay_events": REPLAY_EVENTS,
         "cdc_replay_events_per_sec": round(REPLAY_EVENTS / timings["cdc_replay"], 1),
         "cdc_final_rows": final_rows,

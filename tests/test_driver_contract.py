@@ -66,13 +66,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert sr == dr, f"{name}: values differ, e.g. {mismatches}"
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.BASELINE_QUERIES))
-def test_crossjoin_baselines_match_oracle(spark, duck, name):
-    """The two declared crossJoin baselines live OUTSIDE the 50-entry driver
-    registry (gate caps at 50 rows) but keep the identical oracle contract
-    here — same normalization, same DuckDB views."""
-    sdf = entrymod.BASELINE_QUERIES[name](spark, SF_DIR)
-    res = duck.sql(entrymod.BASELINE_ORACLE_SQL[name])
+OUT_OF_GATE = {**entrymod.BASELINE_QUERIES, **entrymod.RETIRED_QUERIES}
+OUT_OF_GATE_SQL = {**entrymod.BASELINE_ORACLE_SQL, **entrymod.RETIRED_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(OUT_OF_GATE))
+def test_out_of_gate_queries_match_oracle(spark, duck, name):
+    """The two declared crossJoin baselines and the six r5-retired entries
+    live OUTSIDE the 50-entry driver registry (gate caps at 50 rows) but
+    keep the identical oracle contract here — same normalization, same
+    DuckDB views. This test must stay mandatory (only the testdata guard
+    may skip it): it is the only independent check these queries get."""
+    sdf = OUT_OF_GATE[name](spark, SF_DIR)
+    res = duck.sql(OUT_OF_GATE_SQL[name])
     sc, sr = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
     dc, dr = _norm(list(res.columns), res.fetchall())
     assert sc == dc, f"{name}: schema {sc} != {dc}"

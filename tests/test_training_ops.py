@@ -653,4 +653,97 @@ def test_new_ops_empty_input_safety(spark):
     assert set(frac.columns) == {"doc_id", "dup_tokens", "n_tokens",
                                  "dup_fraction"}
     assert text.tf_idf_top_terms(no_docs).count() == 0
+    trim = dedup.trim_duplicated_spans(no_docs, n=3)
+    assert trim.count() == 0
+    assert set(trim.columns) == {"doc_id", "text_clean", "n_tokens_kept",
+                                 "n_tokens"}
     assert text.bm25_scores(no_docs, ["x"]).count() == 0
+
+
+def test_duplicated_ngrams_example_cap_is_null_over_cap(spark):
+    """r4 ADVICE medium: the example-id list must be NULL for hashes hotter
+    than the cap AND the cap must bound the aggregation buffer (ids are
+    rank-capped BEFORE collect_list, which skips NULLs). Semantics pinned
+    here; the buffer shape is pinned by the plan audit."""
+    boiler = "b1 b2 b3"
+    rows = [(i, f"doc{i} {boiler} tail{i}") for i in range(1, 6)]
+    rows.append((9, "p q r s t u v w"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram_hash"]: r for r in
+           dedup.duplicated_ngrams(docs, n=3, min_docs=2,
+                                   max_example_docs=3).collect()}
+    hot = [r for r in out.values() if r["n_docs"] == 5]
+    assert hot and all(r["example_doc_ids"] is None for r in hot)
+    under = dedup.duplicated_ngrams(docs, n=3, min_docs=2,
+                                    max_example_docs=10).collect()
+    assert any(r["example_doc_ids"] == [1, 2, 3, 4, 5] for r in under)
+
+
+def test_trim_duplicated_spans_matches_bruteforce(spark):
+    """sf0.001 corpus, n=10: the trimmed text must equal the python
+    brute-force trim (kept = tokens outside the set-union coverage of
+    cross-doc duplicated windows), doc by doc — the same contract the
+    span-fraction oracle pins, extended to the emitted text (r4 VERDICT
+    next #8)."""
+    from collections import defaultdict
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           dedup.trim_duplicated_spans(docs, n=10).collect()}
+
+    raw = [(r["doc_id"], (r["text"] or "").strip().lower().split())
+           for r in docs.select("doc_id", "text").collect()]
+    raw = [(d, t if t else [""]) for d, t in raw]
+    win_docs = defaultdict(set)
+    for d, toks in raw:
+        for i in range(len(toks) - 9):
+            win_docs[tuple(toks[i:i + 10])].add(d)
+    n_trimmed = 0
+    for d, toks in raw:
+        covered = set()
+        for i in range(len(toks) - 9):
+            if len(win_docs[tuple(toks[i:i + 10])]) >= 2:
+                covered.update(range(i, i + 10))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        g = got[d]
+        assert g["text_clean"] == " ".join(kept), d
+        assert g["n_tokens_kept"] == len(kept) and g["n_tokens"] == len(toks)
+        n_trimmed += bool(covered)
+    assert n_trimmed > 0          # the corpus genuinely exercises trimming
+
+
+def test_bm25_tfidf_scalar_job_budget(spark):
+    """r4 VERDICT next #6: bm25 paid TWO scalar driver jobs per call
+    (df.count + avg collect) and tf-idf one. Now both accept a precomputed
+    corpus_stats row -> ZERO scalar jobs at plan time; the default path
+    pays exactly ONE corpus_stats action."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    stats = text.corpus_stats(docs)
+
+    sc.setJobGroup("bm25-prep", "plan-time scalar jobs")
+    try:
+        bm = text.bm25_scores(docs, ["the", "data"], stats=stats)
+        ti = text.tf_idf_top_terms(docs, stats=stats)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("bm25-prep") == []
+
+    sc.setJobGroup("bm25-default", "one corpus_stats action")
+    try:
+        text.bm25_scores(docs, ["the", "data"])
+    finally:
+        sc.setJobGroup(None, None)
+    # one collect action (<=2 AQE stage-jobs); the old path spent two
+    # actions (>=3 jobs)
+    assert len(sc.statusTracker().getJobIdsForGroup("bm25-default")) <= 2
+
+    # precomputed stats change nothing about the results
+    got = {r["doc_id"]: r["bm25"]
+           for r in text.bm25_scores(docs, ["the", "data"],
+                                     top_k=None).collect()}
+    want = {r["doc_id"]: r["bm25"]
+            for r in text.bm25_scores(docs, ["the", "data"], top_k=None,
+                                      stats=stats).collect()}
+    assert got == want
+    assert bm.count() > 0 and ti.count() > 0
