@@ -519,17 +519,18 @@ def test_objectstore_commitio_end_to_end_table(spark, tmp_path):
     assert t.read(spark).filter(F.col("content").isNull()).count() == 0
 
 
-def _race_commits(root: str, go_file: str, proc_id: int, n_versions: int):
+def _race_commits(root: str, go_file: str, proc_id: int, n_versions: int,
+                  impl_name: str = "ObjectStoreCommitIO"):
     """Cross-process CAS race worker (module-level: spawn-picklable).
     Spin-waits on the go file so all processes enter the version loop
     together, then attempts every version in order. Pure file I/O — no
     Spark in the children."""
     import time
 
-    from kafka_connect_dynamodb_spark.lake.commitio import (
-        CommitConflict as _CC, ObjectStoreCommitIO as _IO)
+    from kafka_connect_dynamodb_spark.lake import commitio as _cio
+    from kafka_connect_dynamodb_spark.lake.commitio import CommitConflict as _CC
 
-    io = _IO()
+    io = getattr(_cio, impl_name)()
     with open(go_file + f".ready{proc_id}", "w") as fh:
         fh.write("ready")                # parent fires go once ALL are ready
     deadline = time.monotonic() + 30
@@ -554,13 +555,16 @@ def _race_commits(root: str, go_file: str, proc_id: int, n_versions: int):
     return wins
 
 
-def test_objectstore_cas_single_winner_across_processes(tmp_path):
-    """VERDICT r4 next #3: the conditional-put stand-in must serialize
-    SEPARATE DRIVER PROCESSES, not just threads — r4's process-global
-    threading.Lock could not. N spawned processes race M versions; exactly
-    one winner per version, every winner's payload intact, and (retrying
-    once against scheduler luck) at least two distinct processes win
-    something, proving genuine cross-process contention."""
+@pytest.mark.parametrize("impl", IMPLS, ids=lambda c: c.__name__)
+def test_commitio_cas_single_winner_across_processes(tmp_path, impl):
+    """VERDICT r4 next #3: the conditional-put primitive must serialize
+    SEPARATE DRIVER PROCESSES, not just threads — r4's ObjectStoreCommitIO
+    used a process-global threading.Lock which could not. All three impls
+    claim kernel-arbitrated CAS (link(2) / RENAME_NOREPLACE / link(2)), so
+    all three race here: N spawned processes race M versions; exactly one
+    winner per version, every winner's payload intact, and (retrying once
+    against scheduler luck) at least two distinct processes win something,
+    proving genuine cross-process contention."""
     import multiprocessing as mp
 
     n_procs, n_versions = 3, 64
@@ -571,7 +575,8 @@ def test_objectstore_cas_single_winner_across_processes(tmp_path):
         go = os.path.join(str(tmp_path), f"go{attempt}")
         with ctx.Pool(n_procs) as pool:
             results = [pool.apply_async(_race_commits,
-                                        (root, go, p, n_versions))
+                                        (root, go, p, n_versions,
+                                         impl.__name__))
                        for p in range(n_procs)]
             import time as _t
             deadline = _t.monotonic() + 60
