@@ -700,6 +700,23 @@ def test_duplicated_ngrams_example_cap_is_null_over_cap(spark):
     assert any(r["example_doc_ids"] == [1, 2, 3, 4, 5] for r in under)
 
 
+def test_duplicated_ngrams_hot_hash_many_docs(spark):
+    """Boilerplate stress: 5000 docs share one 3-gram (the shape that used
+    to buffer a full 5000-id list on one reducer before the rank-cap).
+    Correct stats, NULL example list, and the run completes with the
+    capped buffer."""
+    boiler = "x1 x2 x3"
+    docs = spark.createDataFrame(
+        [(i, f"u{i} {boiler} v{i}") for i in range(5000)],
+        "doc_id long, text string")
+    out = dedup.duplicated_ngrams(docs, n=3, min_docs=2,
+                                  max_example_docs=10).collect()
+    hot = [r for r in out if r["n_docs"] == 5000]
+    assert len(hot) == 1
+    assert hot[0]["n_occurrences"] == 5000
+    assert hot[0]["example_doc_ids"] is None
+
+
 def test_trim_duplicated_spans_matches_bruteforce(spark):
     """sf0.001 corpus, n=10: the trimmed text must equal the python
     brute-force trim (kept = tokens outside the set-union coverage of
