@@ -115,11 +115,19 @@ def main() -> None:
     mode = sys.argv[6] if len(sys.argv) > 6 else "local"
 
     work = tempfile.mkdtemp(prefix="scaling-")
-    log_dir = os.path.join(work, "log")
-    base_dir = os.path.join(work, "base")
+    # SCALING_DATA_DIR: reuse a pre-generated input across campaigns — the
+    # 32-core generation pass is itself ~2 min of full load that consumes
+    # (and heats) the quiet window the campaign is trying to measure in.
+    # The generator is deterministic and partition-independent, so a cached
+    # log/base pair for the same (events, keys) is the identical input.
+    data_root = os.environ.get("SCALING_DATA_DIR")
+    data_home = data_root or work
+    log_dir = os.path.join(data_home, f"log-{events}-{keys}")
+    base_dir = os.path.join(data_home, f"base-{keys}")
 
-    # generate once (deterministic, partition-independent) in a prep JVM
-    code = f"""
+    if not (os.path.isdir(log_dir) and os.path.isdir(base_dir)):
+        # generate once (deterministic, partition-independent) in a prep JVM
+        code = f"""
 import sys; sys.path.insert(0, {REPO!r})
 from kafka_connect_dynamodb_spark.session import get_spark
 from kafka_connect_dynamodb_spark.sources.generator import change_events, source_table
@@ -127,9 +135,10 @@ spark = get_spark("prep", cores=32)
 change_events(spark, {keys}, {events}, pre_init_frac=0.02).write.parquet({log_dir!r})
 source_table(spark, {keys}).write.parquet({base_dir!r})
 """
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
-    if r.returncode != 0:
-        raise RuntimeError(r.stderr[-2000:])
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-2000:])
 
     # Each 10M-event run is ~1.5-2 min of sustained full load; on this
     # shared-credit microVM the SECOND run of a back-to-back pair
@@ -140,11 +149,16 @@ source_table(spark, {keys}).write.parquet({base_dir!r})
     # budget): ALTERNATE which level runs first per trial, and give the
     # host a cool-down gap between runs (SCALING_COOLDOWN_S, default 75 s).
     cooldown = int(os.environ.get("SCALING_COOLDOWN_S", "75"))
+    # SCALING_FIRST_LEVEL=high: measure the 4N side first — it needs all 8
+    # cores simultaneously quiet and is the first casualty when a shared
+    # host's quiet window closes mid-campaign; the 2-core side tolerates
+    # far more ambient noise. Subsequent trials still alternate.
+    hi_first = os.environ.get("SCALING_FIRST_LEVEL", "low") == "high"
     lo_runs, hi_runs = [], []
     import time as _time
     for t in range(trials):          # alternate levels to decorrelate host noise
         order = [(n_low, lo_runs), (n_high, hi_runs)]
-        if t % 2 == 1:
+        if (t % 2 == 1) != hi_first:
             order.reverse()
         for i, (n_exec, sink) in enumerate(order):
             if t + i > 0 and cooldown:
