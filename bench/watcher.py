@@ -1,6 +1,6 @@
 """Quiet-window campaign watcher: probe the host, launch bench/scaling.py
 the moment it reads quiet, stop when a campaign clears the north rule's
-0.8 bar.
+0.8 bar SYMMETRICALLY (both sides near their session floors).
 
 The sandbox host's interference arrives in minute-scale bursts (r5:
 identical 4N runs measured 24.3 s and 49.6 s ninety seconds apart), so a
@@ -18,9 +18,19 @@ campaign (r5 J = 0.818) and the session floors behind the pooled 0.827:
 * after a campaign, sleep 10 minutes before trusting a probe again — our
   own 10M-event load heats the host and the next probe lies (measured:
   a 2.45 s probe 2 min after a campaign preceded the round's worst trials);
-* stop on efficiency >= target (default 0.8) or after the deadline.
+* a campaign only STOPS the watcher when efficiency >= target AND both its
+  sides sit within `SYM_TOL` (10%) of the session floors accumulated across
+  every campaign so far — an over-the-bar ratio bought by a contended N
+  side (which FLATTERS the ratio) keeps the watcher hunting (the r5
+  campaign-J caveat, retired here by construction);
+* probe failures are distinguished from contention: a probe that errors or
+  prints no PROBE_RESULT line is logged as `probe failed` (not a fake 99 s
+  reading) and `MAX_PROBE_FAILURES` consecutive failures abort the watcher
+  with a clear message instead of spinning to the deadline.
 
 Usage: python bench/watcher.py [hours=3] [target=0.8] [quiet_s=2.62]
+Env:   WATCHER_PROBE_DIR  probe dataset (default /root/testdata/sf0.1)
+       SCALING_DATA_DIR   campaign input cache (default /dev/shm/scaling_data)
 Logs to ./watcher.log; campaigns to ./campaign_auto_<n>.log.
 """
 
@@ -34,75 +44,161 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-PROBE = f"""
+SYM_TOL = 0.10                 # both sides within 10% of session floors
+MAX_PROBE_FAILURES = 5         # consecutive hard failures -> abort loudly
+
+PROBE = """
 import sys, time, json
-sys.path.insert(0, {REPO!r})
+sys.path.insert(0, {repo!r})
 import __spark_entry__ as e
 from kafka_connect_dynamodb_spark.session import get_spark
 spark = get_spark("probe", cores=32, shuffle_partitions=64)
 fn = e.queries()["simhash_near_dups"]
 def force(df): df.write.format("noop").mode("overwrite").save()
-force(fn(spark, "/root/testdata/sf0.1"))
+force(fn(spark, {probe_dir!r}))
 ts = []
 for _ in range(3):
-    t0 = time.perf_counter(); force(fn(spark, "/root/testdata/sf0.1"))
+    t0 = time.perf_counter(); force(fn(spark, {probe_dir!r}))
     ts.append(round(time.perf_counter() - t0, 2))
 print("PROBE_RESULT " + json.dumps({{"reps": ts, "min": min(ts)}}))
 """
+
+
+def parse_probe(stdout: str) -> float | None:
+    """Min warm-rep seconds from a probe's stdout, or None if the probe
+    produced no PROBE_RESULT line (a FAILURE, distinct from a slow host)."""
+    for line in stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            try:
+                return float(json.loads(line.split(" ", 1)[1])["min"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                return None
+    return None
+
+
+def parse_campaign(text: str) -> dict | None:
+    """The campaign's final JSON summary (the last stdout line carrying
+    `scaling_efficiency`), or None if the campaign died before printing it."""
+    best = None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "scaling_efficiency" in obj:
+                best = obj
+    return best
+
+
+def is_symmetric(summary: dict, floor_lo: float, floor_hi: float,
+                 tol: float = SYM_TOL) -> bool:
+    """True iff BOTH of the campaign's sides are within `tol` of the session
+    floors — the acceptance rule that retires the contended-N caveat: a
+    slow N side inflates T_N/T_4N, so an over-the-bar ratio only counts
+    when neither side ran hot."""
+    t_lo = summary.get("t_apply_low")
+    t_hi = summary.get("t_apply_high")
+    if t_lo is None or t_hi is None or not floor_lo or not floor_hi:
+        return False
+    return (t_lo <= floor_lo * (1 + tol)) and (t_hi <= floor_hi * (1 + tol))
+
+
+def run_probe(probe_dir: str) -> float | None:
+    """One probe subprocess; None = the probe itself failed."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             PROBE.format(repo=REPO, probe_dir=probe_dir)],
+            capture_output=True, text=True, timeout=300).stdout
+    except Exception:              # noqa: BLE001 — timeout/OSError alike
+        return None
+    return parse_probe(out)
 
 
 def main() -> None:
     hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
     target = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     quiet_s = float(sys.argv[3]) if len(sys.argv) > 3 else 2.62
+    probe_dir = os.environ.get("WATCHER_PROBE_DIR", "/root/testdata/sf0.1")
 
     log = open("watcher.log", "a", buffering=1)
 
     def note(msg: str) -> None:
         log.write(f"{time.strftime('%H:%M:%S')} {msg}\n")
 
+    if not os.path.isdir(probe_dir):
+        note(f"ABORT: probe dir {probe_dir} does not exist "
+             f"(set WATCHER_PROBE_DIR)")
+        return
+
     deadline = time.time() + hours * 3600
     n = 0
+    probe_failures = 0
+    floor_lo = floor_hi = None     # session floors across ALL campaign trials
     while time.time() < deadline:
-        try:
-            out = subprocess.run([sys.executable, "-c", PROBE],
-                                 capture_output=True, text=True,
-                                 timeout=300).stdout
-            line = [l for l in out.splitlines()
-                    if l.startswith("PROBE_RESULT")]
-            m = json.loads(line[0].split(" ", 1)[1])["min"] if line else 99.0
-        except Exception as ex:        # noqa: BLE001 — keep watching
-            note(f"probe error {ex}")
-            m = 99.0
+        m = run_probe(probe_dir)
+        if m is None:
+            probe_failures += 1
+            note(f"probe FAILED ({probe_failures}/{MAX_PROBE_FAILURES})")
+            if probe_failures >= MAX_PROBE_FAILURES:
+                note("ABORT: probe failing persistently — fix the probe "
+                     "env, the host is not merely contended")
+                return
+            time.sleep(120)
+            continue
+        probe_failures = 0
         note(f"probe min={m}")
-        if m <= quiet_s:
-            n += 1
-            note(f"QUIET -> launching campaign auto{n}")
-            env = dict(os.environ,
-                       SCALING_DATA_DIR=os.environ.get(
-                           "SCALING_DATA_DIR", "/dev/shm/scaling_data"),
-                       SCALING_FIRST_LEVEL="high")
-            with open(f"campaign_auto_{n}.log", "w") as fh:
+        if m > quiet_s:
+            time.sleep(240)
+            continue
+
+        n += 1
+        note(f"QUIET (probe {m}) -> launching campaign auto{n}")
+        env = dict(os.environ,
+                   SCALING_DATA_DIR=os.environ.get(
+                       "SCALING_DATA_DIR", "/dev/shm/scaling_data"),
+                   SCALING_FIRST_LEVEL="high")
+        logf = f"campaign_auto_{n}.log"
+        try:
+            with open(logf, "w") as fh:
                 subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench", "scaling.py"),
                      "10000000", "1000000", "1", "4", "1", "local"],
                     stdout=fh, stderr=subprocess.STDOUT,
                     timeout=2400, env=env)
-            eff = 0.0
-            try:
-                tail = open(f"campaign_auto_{n}.log").read()
-                last = [l for l in tail.splitlines()
-                        if l.startswith("{")][-1]
-                eff = json.loads(last).get("scaling_efficiency", 0.0)
-            except Exception:          # noqa: BLE001
-                pass
-            note(f"campaign auto{n} efficiency={eff}")
-            if eff >= target:
-                note("TARGET MET, stopping watcher")
-                break
-            time.sleep(600)            # recover from OUR campaign load
-        else:
-            time.sleep(240)
+        except Exception as ex:    # noqa: BLE001 — keep watching (ADVICE r5)
+            note(f"campaign auto{n} CRASHED/TIMED OUT: {ex}")
+            time.sleep(600)
+            continue
+        try:
+            summary = parse_campaign(open(logf).read())
+        except OSError:
+            summary = None
+        if summary is None:
+            note(f"campaign auto{n} produced no summary")
+            time.sleep(600)
+            continue
+
+        eff = summary.get("scaling_efficiency", 0.0)
+        t_lo, t_hi = summary.get("t_apply_low"), summary.get("t_apply_high")
+        # fold EVERY trial into the session floors, not just the minima
+        lo_all = summary.get("t_apply_low_all", [t_lo])
+        hi_all = summary.get("t_apply_high_all", [t_hi])
+        floor_lo = min([floor_lo, *lo_all]) if floor_lo else min(lo_all)
+        floor_hi = min([floor_hi, *hi_all]) if floor_hi else min(hi_all)
+        # floors from a single campaign make it trivially symmetric — the
+        # rule only means something once a second campaign corroborates them
+        sym = n >= 2 and is_symmetric(summary, floor_lo, floor_hi)
+        note(f"campaign auto{n} probe={m} eff={eff} "
+             f"N={t_lo}s 4N={t_hi}s floors=({floor_lo},{floor_hi}) "
+             f"symmetric={sym}")
+        if eff >= target and sym:
+            note(f"TARGET MET symmetrically (eff={eff}, both sides within "
+                 f"{SYM_TOL:.0%} of session floors), stopping watcher")
+            break
+        time.sleep(600)            # recover from OUR campaign load
     note("watcher exit")
 
 

@@ -37,6 +37,7 @@ protocol is load-bearing (VERDICT r01 "What's missing" #3).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -272,16 +273,19 @@ class ObjectStoreCommitIO(CommitIO):
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
         try:
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
             os.link(tmp, path)            # stands in for If-None-Match: *
         except FileExistsError as e:
             raise CommitConflict(f"{path} already committed") from e
         finally:
-            os.unlink(tmp)
+            # covers write-path failures (ENOSPC mid-write) as well as the
+            # CAS loss — the tmp object never outlives the call
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
 
     def read_text(self, path: str) -> str:
         with open(path) as fh:
