@@ -495,6 +495,22 @@ def q_minhash_jaccard_verified(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_neardup_banded_pairs(spark, sf_dir):
+    """Streaming near-dup's bucketing math, certified batch-wise (VERDICT r5
+    next #3): the SAME banded_buckets column expressions the stateful stream
+    consumes (streaming/neardup.py), drained into first-owner pairs — per
+    LSH band bucket the lexicographically-first doc owns it and later
+    members within the arrival cap are flagged (doc_id, dup_of). Portable
+    sha mode + word shingles so DuckDB reproduces the buckets bit-for-bit;
+    tests/test_streaming_dedup.py pins drained-stream == this operator on
+    the same input in BOTH hash modes."""
+    from kafka_connect_dynamodb_spark.streaming.neardup import first_owner_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (first_owner_pairs(docs, use_words=True, portable=True,
+                              num_hashes=16, bands=4, max_bucket_size=50)
+            .orderBy("doc_id", "dup_of"))
+
+
 def q_simhash_signatures(spark, sf_dir):
     """Portable 64-bit SimHash signature per document (bitstring form)."""
     from kafka_connect_dynamodb_spark.operators.dedup import simhash_bits
@@ -777,6 +793,37 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, Q_VEC, _TOPK, n_cells=8, nprobe=2, seed=7)
 
 
+# PQ/ADC driver row (VERDICT r5 next #1): m=8 subspaces x 16 codes over the
+# 64-dim embeddings; codebooks are the deterministic SQL-reproducible
+# centroids (same discipline as the IVF row — production fits real codebooks
+# with pq_fit and passes them in).
+_PQ_M, _PQ_CODES, _PQ_SEED = 8, 16, 101
+
+
+def _pq_books() -> list[list[list[float]]]:
+    from kafka_connect_dynamodb_spark.operators.similarity import ivf_centroid
+    sub = 64 // _PQ_M
+    return [[ivf_centroid(c, sub, seed=_PQ_SEED + j)
+             for c in range(_PQ_CODES)] for j in range(_PQ_M)]
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ compression + ADC retrieval: vectors encode to m=8 single-nibble
+    codes (32x smaller scan at rest), the fixed query becomes m broadcast
+    distance tables, and scoring a row is 8 array lookups + a fixed-order
+    float64 sum — no full vectors read. Emission is the float32-rounded
+    distance (established cross-engine ulp discipline); ranking is the
+    bit-identical float64 with vec_id tiebreak in BOTH engines."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        pq_encode, pq_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    codes = pq_encode(emb, books)
+    top = pq_topk(codes, books, Q_VEC, _TOPK)
+    return top.select(
+        "vec_id", F.col("adc_dist").cast("float").alias("adc_dist"))
+
+
 # --------------------------------------------------------------------------
 # CDC extras: schema evolution, salted hot-key two-phase agg, multimodal
 # --------------------------------------------------------------------------
@@ -887,6 +934,41 @@ def _minhash_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bm a JOIN bm b USING (band, bh)
             WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+
+
+def _neardup_owner_oracle(num_hashes=16, bands=4, max_bucket=50) -> str:
+    """SQL mirror of streaming.neardup.first_owner_pairs(portable=True,
+    use_words=True): same word-shingle sha MinHash + sha band hashes as
+    _minhash_ctes, but the stream's keep-first semantics — per (band, bh)
+    bucket, rank docs by their STRING id (banded_buckets casts ids to
+    string; arrival order over one drain), owner = first, emit ranks
+    2..max_bucket (the stream's per-bucket hit cap, which counts rather
+    than drops a degenerate bucket past the cap)."""
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"list_aggregate(list_transform(sh, s -> sha256('{i}:' || s)), 'min') AS m{i}"
+        for i in range(num_hashes))
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, sha256(concat_ws('|', {ms})) AS bh FROM sig".format(
+            b=b, ms=", ".join(f"m{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            sh AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(tk)-2, 1)+1),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh FROM toks),
+            sig AS (SELECT doc_id, {mins} FROM sh),
+            bands AS ({band_rows}),
+            rk AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, band, bh,
+                          row_number() OVER (PARTITION BY band, bh
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS rn,
+                          first_value(CAST(doc_id AS VARCHAR)) OVER (
+                              PARTITION BY band, bh
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS owner
+                   FROM bands)
+            SELECT DISTINCT doc_id_s AS doc_id, owner AS dup_of
+            FROM rk WHERE rn >= 2 AND rn <= {max_bucket} AND doc_id_s <> owner
+            ORDER BY doc_id, dup_of"""
 
 
 # corpus dedup/trim operators tokenize LOWERCASED text (unlike _TOKS_SQL)
@@ -1005,6 +1087,48 @@ def _ivf_oracle(k: int, n_cells: int = 8, nprobe: int = 2, seed: int = 7) -> str
             SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
             FROM a WHERE cell IN ({", ".join(str(x) for x in probe)})
             ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
+def _pq_oracle(k: int) -> str:
+    """SQL mirror of q_pq_adc_topk: identical slice boundaries, identical
+    argmin (list_position of list min, first-wins ties), identical
+    fixed-order left-fold ADC sum starting at 0.0, identical float32
+    emission — every float64 intermediate is bit-equal across engines
+    because subtraction/multiplication/ordered addition are IEEE-exact."""
+    from kafka_connect_dynamodb_spark.operators.similarity import _py_l2
+    sub = 64 // _PQ_M
+    books = _pq_books()
+    slices = ", ".join(
+        f"list_slice(v, {j * sub + 1}, {(j + 1) * sub}) AS sv{j}"
+        for j in range(_PQ_M))
+    ds_defs, code_defs, adc_lookups = [], [], []
+    for j in range(_PQ_M):
+        d_exprs = []
+        for cvec in books[j]:
+            carr = _vec_sql(cvec)
+            d_exprs.append(
+                f"list_reduce(list_transform(range(1, {sub + 1}), "
+                f"i -> (list_extract(sv{j}, i) - list_extract({carr}, i)) * "
+                f"(list_extract(sv{j}, i) - list_extract({carr}, i))), "
+                f"(x, y) -> x + y)")
+        ds_defs.append("[" + ", ".join(d_exprs) + f"] AS ds{j}")
+        code_defs.append(
+            f"list_position(ds{j}, list_aggregate(ds{j}, 'min')) AS code{j}")
+        qj = Q_VEC[j * sub:(j + 1) * sub]
+        tbl = ("[" + ", ".join(repr(_py_l2(qj, c)) for c in books[j])
+               + "]::DOUBLE[]")
+        adc_lookups.append(f"list_extract({tbl}, code{j})")
+    total = "0.0"
+    for lk in adc_lookups:
+        total = f"({total} + {lk})"
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, {slices} FROM v),
+            d AS (SELECT vec_id, {", ".join(ds_defs)} FROM s),
+            c AS (SELECT vec_id, {", ".join(code_defs)} FROM d),
+            t AS (SELECT vec_id, {total} AS adc64 FROM c)
+            SELECT vec_id, CAST(adc64 AS FLOAT) AS adc_dist
+            FROM t ORDER BY adc64 ASC, vec_id LIMIT {k}"""
 
 
 def _near_dup_lsh_oracle(threshold: float, max_bucket: int) -> str:
@@ -1148,7 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_nations": q_semi_join_active_nations,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "grouping_sets_order_stats": q_grouping_sets_order_stats,
-        "cube_order_stats": q_cube_order_stats,
+        "neardup_banded_pairs": q_neardup_banded_pairs,
         "q5_region_revenue": q_q5_region_revenue,
         "asof_join_last_order": q_asof_join_last_order,
         "range_join_promo_windows": q_range_join_promo_windows,
@@ -1174,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_set_ops": q_key_set_ops,
         "doc_content_sha": q_doc_content_sha,
         "embedding_cosine_topk": q_embedding_cosine_topk,
-        "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
+        "pq_adc_topk": q_pq_adc_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -1448,7 +1572,7 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
             FROM v ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}""",
-        "embedding_ann_lsh_topk": _ann_oracle(_TOPK),
+        "pq_adc_topk": _pq_oracle(_TOPK),
         "embedding_ivf_topk": _ivf_oracle(_TOPK),
         "cdc_envelope_roundtrip": """
             SELECT doc_id, lang, sha256(text) AS roundtrip_sha
@@ -1545,12 +1669,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'both' AS side, key FROM (SELECT key FROM e INTERSECT SELECT key FROM c)
             ORDER BY side, key""",
-        "cube_order_stats": """
-            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-                   GROUPING(o_orderpriority, o_orderstatus) AS gid
-            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-            ORDER BY gid, o_orderpriority ASC NULLS FIRST,
-                     o_orderstatus ASC NULLS FIRST""",
+        "neardup_banded_pairs": _neardup_owner_oracle(),
         "order_price_percentiles": """
             WITH p AS (SELECT o_orderpriority,
                               unnest(['p25', 'p50', 'p90']) AS pct,
@@ -1580,15 +1699,19 @@ BASELINE_QUERIES = {
     "knn_join": q_knn_join,
 }
 
-# r5 rotation (VERDICT r4 next #1): these six RETIRED entries ceded their
-# gate slots to the r4 corpus operators (dedup clustering, TF-IDF, BM25,
-# span fraction/trim/stats). Each retiree's machinery stays certified by a
-# sibling green row (token_count_docs ⊂ bpe_token_count, doc_quality_score
-# ⊂ doc_quality_full, simhash_signatures ⊂ simhash_near_dups,
-# minhash_lsh_near_dups ⊂ minhash_jaccard_verified, cdc_envelope_extract ⊂
-# cdc_envelope_roundtrip, rollup_order_stats ⊂ cube_order_stats) AND keeps
-# the identical oracle contract in pytest
-# (test_driver_contract.py::test_out_of_gate_queries_match_oracle).
+# r5 rotation (VERDICT r4 next #1): six RETIRED entries ceded their gate
+# slots to the r4 corpus operators (dedup clustering, TF-IDF, BM25, span
+# fraction/trim/stats); r6 rotation (VERDICT r5 next #1/#3) retired two
+# more near-twins for pq_adc_topk and neardup_banded_pairs. Each retiree's
+# machinery stays certified by a sibling green row (token_count_docs ⊂
+# bpe_token_count, doc_quality_score ⊂ doc_quality_full, simhash_signatures
+# ⊂ simhash_near_dups, minhash_lsh_near_dups ⊂ minhash_jaccard_verified,
+# cdc_envelope_extract ⊂ cdc_envelope_roundtrip, rollup_order_stats and
+# cube_order_stats ⊂ grouping_sets_order_stats — ROLLUP and CUBE are
+# grouping-set specializations — and embedding_ann_lsh_topk ⊂ the same
+# hyperplane-signature machinery certified by knn_join_lsh +
+# embedding_near_dup_pairs) AND keeps the identical oracle contract in
+# pytest (test_driver_contract.py::test_out_of_gate_queries_match_oracle).
 RETIRED_QUERIES = {
     "cdc_envelope_extract": q_cdc_envelope_extract,
     "rollup_order_stats": q_rollup_order_stats,
@@ -1596,6 +1719,8 @@ RETIRED_QUERIES = {
     "doc_quality_score": q_doc_quality_score,
     "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
     "simhash_signatures": q_simhash_signatures,
+    "cube_order_stats": q_cube_order_stats,
+    "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -1626,6 +1751,13 @@ RETIRED_ORACLE_SQL = {
     "simhash_signatures": f"""
         WITH {_SIMHASH_CTE}
         SELECT doc_id, simhash_bits FROM sig ORDER BY doc_id""",
+    "cube_order_stats": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               GROUPING(o_orderpriority, o_orderstatus) AS gid
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST""",
+    "embedding_ann_lsh_topk": _ann_oracle(_TOPK),
 }
 
 BASELINE_ORACLE_SQL = {

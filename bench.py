@@ -58,6 +58,13 @@ R5_CORPUS_OPS = [
     "dup_ngram_stats",
 ]
 
+# r6 additions (rotation round): PQ/ADC retrieval and the streaming
+# near-dup's batch twin — measured per-query, excluded from the headline
+R6_OPS = [
+    "pq_adc_topk",
+    "neardup_banded_pairs",
+]
+
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -90,6 +97,14 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         r5_timings[name] = round(time.perf_counter() - t0, 3)
+
+    r6_timings: dict[str, float] = {}
+    for name in R6_OPS:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        r6_timings[name] = round(time.perf_counter() - t0, 3)
 
     # ---- flagship: full two-phase CDC replay at generator scale ----
     from kafka_connect_dynamodb_spark.lake.table import LakeTable
@@ -140,6 +155,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "r5_corpus_ops": r5_timings,
         "r5_corpus_ops_total_sec": round(sum(r5_timings.values()), 3),
+        "r6_ops": r6_timings,
+        "r6_ops_total_sec": round(sum(r6_timings.values()), 3),
         "cdc_replay_events": REPLAY_EVENTS,
         "cdc_replay_events_per_sec": round(REPLAY_EVENTS / timings["cdc_replay"], 1),
         "cdc_final_rows": final_rows,

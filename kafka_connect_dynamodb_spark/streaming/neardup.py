@@ -32,13 +32,13 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kafka_connect_dynamodb_spark.operators.dedup import (
-    char_shingles, minhash_signature)
+    char_shingles, minhash_signature, minhash_signature_sha, word_shingles)
 
 CANDIDATE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -80,26 +80,80 @@ def _make_update(max_bucket_size: int, ttl_ms: int | None):
 
 def banded_buckets(docs: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 16,
-                   bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                   bands: int = 4, shingle_k: int = 3,
+                   use_words: bool = False,
+                   portable: bool = False) -> DataFrame:
     """(bucket_key, doc_id) rows: one per band per document — the same
-    signature arithmetic as the batch ``minhash_lsh_candidates``."""
+    signature arithmetic as the batch ``minhash_lsh_candidates``.
+
+    ``portable=True`` swaps xxhash64 for sha256 (the engine-portable twin,
+    same discipline as ``minhash_lsh_candidates_sha``) so an ANSI-SQL oracle
+    reproduces the buckets bit-for-bit; ``use_words`` selects word-3-gram
+    shingles over character k-grams. Both modes are pure per-row column
+    expressions — NO pre-state aggregation — so the same function feeds the
+    batch certification row and the stateful stream without a second
+    shuffle-bearing plan shape.
+    """
     rows_per_band = num_hashes // bands
-    sh = char_shingles(F.col(text_col), shingle_k)
-    sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
-                      minhash_signature(sh, num_hashes).alias("sig"))
+    base = (word_shingles(F.col(text_col), 3) if use_words
+            else char_shingles(F.col(text_col), shingle_k))
+    if portable:
+        sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                          minhash_signature_sha(base, num_hashes).alias("sig"))
+        band_hash = lambda b: F.sha2(F.concat_ws("|", *[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)]), 256)
+    else:
+        sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                          minhash_signature(base, num_hashes).alias("sig"))
+        band_hash = lambda b: F.xxhash64(*[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)]).cast("string")
     return sig.select(
         "doc_id",
         F.explode(F.array(*[
-            F.concat_ws(
-                ":", F.lit(b),
-                F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
-                             for r in range(rows_per_band)]).cast("string"))
+            F.concat_ws(":", F.lit(b), band_hash(b))
             for b in range(bands)])).alias("bucket")).select("bucket", "doc_id")
+
+
+def first_owner_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 3,
+                      use_words: bool = False, portable: bool = False,
+                      max_bucket_size: int = 50) -> DataFrame:
+    """Batch twin of :func:`neardup_stream` over a FULLY DRAINED log: per
+    LSH band bucket, the lexicographically-first document owns the bucket
+    and every later member within the first ``max_bucket_size`` arrivals is
+    flagged ``(doc_id, dup_of=owner)`` — exactly the star the stream's
+    stateful operator accumulates (arrival order == sorted order over one
+    drain, the stream's own within-batch rule).
+
+    Scale shape: one shuffle on the bucket key; the cap is applied through a
+    ranking window (WindowGroupLimit-ranked rows, no collect_list buffer),
+    so a degenerate boilerplate bucket costs its row count, never a
+    quadratic pair expansion. Certified against a DuckDB oracle via the
+    driver row ``neardup_banded_pairs`` (portable mode) and against the
+    drained stream by ``tests/test_streaming_dedup.py``.
+    """
+    buckets = banded_buckets(docs, id_col=id_col, text_col=text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_k=shingle_k, use_words=use_words,
+                             portable=portable)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    ranked = buckets.select(
+        "doc_id",
+        F.first_value("doc_id").over(w).alias("dup_of"),
+        F.row_number().over(w).alias("_rn"))
+    return (ranked.filter((F.col("_rn") >= 2)
+                          & (F.col("_rn") <= max_bucket_size)
+                          & (F.col("doc_id") != F.col("dup_of")))
+                  .select("doc_id", "dup_of").distinct())
 
 
 def neardup_stream(docs: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 16,
                    bands: int = 4, shingle_k: int = 3,
+                   use_words: bool = False, portable: bool = False,
                    max_bucket_size: int = 50,
                    state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming near-dup candidates ``(doc_id, dup_of)`` — a document paired
@@ -111,7 +165,8 @@ def neardup_stream(docs: DataFrame, *, id_col: str = "doc_id",
     parity with the batch operator over a full drain)."""
     buckets = banded_buckets(docs, id_col=id_col, text_col=text_col,
                              num_hashes=num_hashes, bands=bands,
-                             shingle_k=shingle_k)
+                             shingle_k=shingle_k, use_words=use_words,
+                             portable=portable)
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (buckets.groupBy("bucket")

@@ -146,6 +146,19 @@ QUERY_AUDIT = {
             ("no cartesian product", "CartesianProduct", False),
             ("gaps-and-islands windows", "Window"),
         ],
+        # r6 rotation rows (VERDICT r5 next #1/#3)
+        "pq_adc_topk": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no joins at all — broadcast-literal ADC tables", "Join", False),
+            ("top-k without global sort", "TakeOrderedAndProject"),
+            ("codegen'd encode+score", "codegen id"),
+        ],
+        "neardup_banded_pairs": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("keep-first star via ranking window", "Window"),
+            ("codegen'd signature (no UDF)", "codegen id"),
+        ],
         "dup_ngram_stats": [
             ("no Python anywhere", "EvalPython", False),
             # partial agg before the FIRST shuffle; the SECOND stage is a

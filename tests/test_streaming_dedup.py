@@ -136,3 +136,48 @@ def test_streaming_neardup_matches_batch_banding(spark, tmp_path):
     assert all((min(a, b), max(a, b)) in batch_pairs for a, b in got)
     # the cross-batch case specifically
     assert ("d04", "d01") in got and ("d05", "d02") in got
+
+
+def test_drained_stream_equals_first_owner_pairs_both_modes(spark, tmp_path):
+    """The contract behind the neardup_banded_pairs driver row: a FULLY
+    DRAINED neardup_stream emits exactly first_owner_pairs() on the same
+    input, in BOTH hash modes (default xxhash/char-shingles and the
+    portable sha/word-shingles twin the DuckDB oracle mirrors). Arrival
+    order equals lexicographic order here (batch files ordered by id), so
+    the stream's keep-first star and the batch ranking window must agree
+    pair-for-pair."""
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        first_owner_pairs, neardup_stream)
+
+    txt_a = "the quick brown fox jumps over the lazy dog again and again"
+    txt_b = "an entirely different document about spark streaming state"
+    rows_b1 = [("d01", txt_a), ("d02", txt_b), ("d03", "unrelated third text")]
+    rows_b2 = [("d04", txt_a + "!"), ("d05", txt_b),
+               ("d06", "yet another unique snowflake document")]
+    schema = "doc_id string, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    all_docs = spark.createDataFrame(rows_b1 + rows_b2, schema)
+
+    for i, mode in enumerate([dict(use_words=False, portable=False),
+                              dict(use_words=True, portable=True)]):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1").parquet(src)
+        out = neardup_stream(stream, num_hashes=16, bands=4, shingle_k=3,
+                             **mode)
+        q = (out.writeStream.outputMode("append").format("parquet")
+                .option("path", str(tmp_path / f"out{i}"))
+                .option("checkpointLocation", str(tmp_path / f"cp{i}"))
+                .trigger(availableNow=True).start())
+        q.awaitTermination()
+        drained = {(r.doc_id, r.dup_of) for r in
+                   spark.read.parquet(str(tmp_path / f"out{i}")).collect()}
+        batch = {(r.doc_id, r.dup_of) for r in first_owner_pairs(
+            all_docs, num_hashes=16, bands=4, shingle_k=3, **mode).collect()}
+        assert drained == batch and drained, mode
+        if mode["portable"]:
+            # portable word-shingle mode still catches the near-dup family
+            assert ("d04", "d01") in drained and ("d05", "d02") in drained
