@@ -172,11 +172,27 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
 # shuffle on (band, band-hash).
 
 def minhash_signature_sha(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of ``num_hashes`` sha256-hex minima."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s: F.sha2(F.concat(F.lit(f"{seed}:"), s), 256)))
-        for seed in range(num_hashes)])
+    """MinHash signature as an array of ``num_hashes`` sha256-hex minima.
+
+    Single-pass fold: ONE ``F.aggregate`` walk over the shingle array
+    computes all ``num_hashes`` digests per shingle and element-wise-mins
+    them into the accumulator, so the (expensive) shingle-array expression
+    is referenced exactly once. The naive per-hash formulation
+    ``array(*[array_min(transform(shingles, ...)) ...])`` re-inlines the
+    shingle subexpression ``num_hashes`` times through CollapseProject —
+    measured ~16x slower at 5k docs (r6: 43.5 s -> ~3 s for
+    ``neardup_banded_pairs`` at sf0.1). The ``'g'`` sentinel ('g' > any
+    hex digit) folds back to NULL on an empty shingle array, matching
+    ``array_min(transform([]))`` exactly."""
+    top = F.array_repeat(F.lit("g"), num_hashes)
+    folded = F.aggregate(
+        shingles, top,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.sha2(F.concat(F.lit(f"{i}:"), s), 256)
+                      for i in range(num_hashes)]),
+            lambda a, d: F.least(a, d)))
+    return F.transform(folded, lambda x: F.when(x != F.lit("g"), x))
 
 
 def minhash_lsh_candidates_sha(df: DataFrame, *, id_col: str = "doc_id",

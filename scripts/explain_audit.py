@@ -156,6 +156,7 @@ QUERY_AUDIT = {
         "neardup_banded_pairs": [
             ("no Python anywhere", "EvalPython", False),
             ("no cartesian product", "CartesianProduct", False),
+            ("map-side combined digest minima (explode-once sig)", "HashAggregate"),
             ("keep-first star via ranking window", "Window"),
             ("codegen'd signature (no UDF)", "codegen id"),
         ],
