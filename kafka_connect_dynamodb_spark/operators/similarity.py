@@ -256,14 +256,30 @@ def _weighted_greedy_reduce(cands: list[list[float]], w: list[float],
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell id (1-based): argmin of squared-L2 distance,
-    ties to the lowest cell. Pure fold expressions — codegen'd, no UDF."""
-    dists = []
-    for c in centroids:
-        carr = F.array(*[F.lit(x) for x in c])
-        d2 = F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-                         F.lit(0.0), lambda acc, x: acc + x)
-        dists.append(d2)
-    darr = F.array(*dists)
+    ties to the lowest cell. Pure fold expressions, no UDF.
+
+    Single-reference formulation: the centroid matrix is embedded
+    TRANSPOSED (``t2d[i][c]`` = dim i of centroid c) so one
+    ``zip_with(vec, t2d)`` pass computes every per-dim squared diff and
+    one fold sums them element-wise per centroid — ``vec`` appears in the
+    expression tree exactly once. The per-centroid loop formulation
+    re-evaluated ``vec`` (often a cast or slice, e.g. ``pq_encode``'s
+    ``slice(cast(...))``) once per centroid per row — the CollapseProject
+    re-inlining trap that cost 16x on the sha-MinHash path. Addition
+    order per centroid is unchanged (dims in index order from 0.0), so
+    results are bit-identical to the old formulation and to the SQL
+    oracles."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    t2d = F.array(*[
+        F.array(*[F.lit(float(centroids[c][i])) for c in range(k)])
+        for i in range(dim)])
+    sq = F.zip_with(vec, t2d,
+                    lambda x, crow: F.transform(crow,
+                                                lambda c: (x - c) * (x - c)))
+    darr = F.aggregate(sq, F.array_repeat(F.lit(0.0), k),
+                       lambda acc, s: F.zip_with(acc, s,
+                                                 lambda a, b: a + b))
     return F.array_position(darr, F.array_min(darr)).cast("int")
 
 
