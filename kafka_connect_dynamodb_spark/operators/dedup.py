@@ -89,12 +89,26 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed, min over shingle xxhash64 values.
 
-    Pure column expression — evaluated inside codegen per row; no shuffle,
-    no UDF. Cost is O(|shingles| * num_hashes) hash evaluations.
-    """
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
-        for seed in range(num_hashes)])
+    Pure column expression — no shuffle, no UDF. Cost is
+    O(|shingles| * num_hashes) hash evaluations, and the shingle-array
+    expression is referenced exactly ONCE: a single ``F.aggregate`` walk
+    computes all ``num_hashes`` digests per shingle and folds an
+    element-wise min (the per-seed ``array_min(transform(...))``
+    formulation re-inlined the shingle builder ``num_hashes`` times via
+    CollapseProject — the 16x trap fixed on the sha path in r6). Values
+    are identical (min over the same xxhash64 set). Corner: a NULL
+    shingle array folds to a NULL signature (previously an array of
+    NULLs) — indistinguishable downstream (``element_at`` on either
+    yields NULL into the band hash), and both shingle builders always
+    emit >= 1 element for non-null text."""
+    digests = lambda s: F.array(*[
+        F.xxhash64(F.lit(seed), s) for seed in range(num_hashes)])
+    return F.aggregate(
+        shingles,
+        F.lit(None).cast("array<bigint>"),
+        lambda acc, s: F.when(acc.isNull(), digests(s))
+                        .otherwise(F.zip_with(acc, digests(s),
+                                              lambda a, d: F.least(a, d))))
 
 
 def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
