@@ -711,6 +711,80 @@ def q_doc_content_sha(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# r6 curation operators (operators/curation.py): benchmark decontamination,
+# PII redaction, sequence packing, top-token repetition coverage — the four
+# corpus-curation passes an LLM training pipeline runs between dedup and
+# tokenization.
+# --------------------------------------------------------------------------
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark n-gram decontamination: a deterministic 5% "benchmark"
+    slice (portable hash threshold) indexes its distinct word-5-grams
+    (broadcast); every other document is scored by the fraction of its
+    5-grams found in that index. The industry-standard eval-leakage pass
+    (GPT-3 appx C / Llama style) as one broadcast join + one groupBy."""
+    from kafka_connect_dynamodb_spark.operators.curation import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs).orderBy("doc_id")
+
+
+def _pii_dirty_text() -> "F.Column":
+    """Deterministic PII injection derived ONLY from table columns (the
+    synthetic corpus contains no real PII, so the operator is exercised on
+    text every engine can reconstruct: the SQL oracle concatenates the
+    identical suffixes)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" contact user"), s(did),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" from 10."), s(did % 256), F.lit(".0."),
+                        s((did * 7) % 256))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad(s(did % 10000), 4, "0"))).otherwise(F.lit("")))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over deterministically-dirtied text: email/IPv4/phone
+    match counts (on the original), sequential regexp redaction, sha256 of
+    the redacted text as the audit invariant. Pure JVM regexp built-ins —
+    embarrassingly parallel, no shuffle at all."""
+    from kafka_connect_dynamodb_spark.operators.curation import pii_redact
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", _pii_dirty_text().alias("text"))
+    return (pii_redact(dirty)
+            .select("doc_id", "n_emails", "n_ips", "n_phones",
+                    "redacted_sha", "pii_free")
+            .orderBy("doc_id"))
+
+
+def q_pack_training_sequences(spark, sf_dir):
+    """Sample packing: documents placed into 512-token bins along a
+    deterministic hash-shuffled global order, via the two-level distributed
+    prefix sum (64 hash-range buckets; parallel within-bucket windows +
+    driver-sized bucket offsets) — exact-integer equal to the single-window
+    formulation the oracle uses, without its single-task global sort."""
+    from kafka_connect_dynamodb_spark.operators.curation import pack_bin_stats
+    docs = _t(spark, sf_dir, "documents")
+    return pack_bin_stats(docs, budget=512).orderBy("bin_id")
+
+
+def q_top_token_coverage(spark, sf_dir):
+    """Gopher-family repetition signal: share of each document's tokens
+    taken by its most frequent token (ties -> lexicographically smallest),
+    flagged past 20%. One explode + map-side-combined count + one ranking
+    window (WindowGroupLimit) — a single shuffle on doc_id."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        top_token_coverage)
+    docs = _t(spark, sf_dir, "documents")
+    return top_token_coverage(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Similarity search over embeddings (array<float>, dim 64)
 # --------------------------------------------------------------------------
 
@@ -1236,6 +1310,114 @@ def _stratified_sample_oracle() -> str:
             ORDER BY doc_id"""
 
 
+def _decontam_oracle(n: int = 5, bench_rate: float = 0.05,
+                     bench_salt: str = "bench",
+                     frac_threshold: float = 0.5) -> str:
+    """SQL mirror of curation.decontaminate: same portable-hash benchmark
+    split, same strict lowercased word 5-grams (EMPTY for <5-token docs),
+    same left-join overlap count."""
+    from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+    parts = ", ".join(f"tk[i+{j}]" for j in range(n))
+    frac = ("CAST(coalesce(a.n_overlap, 0) AS DOUBLE)"
+            " / greatest(coalesce(a.n_grams, 0), 1)")
+    return f"""
+            WITH toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(tk) >= {n} THEN
+                      list_distinct(list_transform(range(1, len(tk)-{n - 2}),
+                        i -> concat_ws(' ', {parts})))
+                    ELSE CAST([] AS VARCHAR[]) END AS grams,
+                    (CAST('0x' || substr(sha256('{bench_salt}'
+                         || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                     < {threshold_for(bench_rate)}) AS is_bench
+                  FROM toks),
+            bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+            cg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE NOT is_bench),
+            agg AS (SELECT cg.doc_id, count(*) AS n_grams,
+                           count(bg.gram) AS n_overlap
+                    FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+                    GROUP BY cg.doc_id)
+            SELECT g.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   {frac} AS overlap_frac,
+                   ({frac}) >= {frac_threshold} AS contaminated
+            FROM g LEFT JOIN agg a USING (doc_id)
+            WHERE NOT is_bench ORDER BY g.doc_id"""
+
+
+# SQL twin of q_pii_redaction: identical dirty-text construction, identical
+# Java/RE2-portable patterns (curation.EMAIL_RE/IPV4_RE/PHONE_RE inlined via
+# format below), identical replacement order.
+def _pii_oracle() -> str:
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        EMAIL_RE, IPV4_RE, PHONE_RE)
+    red = "t"
+    for pat, repl in ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"),
+                      (PHONE_RE, "<PHONE>")):
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+            WITH dirty AS (SELECT doc_id, text
+                 || CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+                      || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN ' from 10.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS t
+               FROM documents),
+            c AS (SELECT doc_id,
+                    len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+                    len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+                    len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+                    {red} AS redacted
+                  FROM dirty)
+            SELECT doc_id, n_emails, n_ips, n_phones,
+                   sha256(redacted) AS redacted_sha,
+                   (n_emails + n_ips + n_phones = 0) AS pii_free
+            FROM c ORDER BY doc_id"""
+
+
+_PACK_ORACLE = r"""
+            WITH t AS (SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                   CAST('0x' || substr(sha256('pack' || CAST(doc_id AS VARCHAR)),
+                        1, 13) AS BIGINT) AS k
+                 FROM documents),
+            c AS (SELECT doc_id, tok,
+                    sum(tok) OVER (ORDER BY k, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t),
+            b AS (SELECT CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin_id,
+                         tok
+                  FROM c)
+            SELECT bin_id, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS bin_tokens,
+                   CAST(sum(tok) AS DOUBLE) / 512 AS fill_frac
+            FROM b GROUP BY bin_id ORDER BY bin_id"""
+
+
+_TOPTOKEN_ORACLE = f"""
+            WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
+                          FROM documents),
+            c AS (SELECT doc_id, token, count(*) AS n FROM toks
+                  GROUP BY doc_id, token),
+            r AS (SELECT doc_id, token, n,
+                         CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT)
+                             AS n_tokens,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY n DESC, token ASC) AS rn
+                  FROM c)
+            SELECT doc_id, token AS top_token, n AS top_n, n_tokens,
+                   CAST(n AS DOUBLE) / n_tokens AS top_frac,
+                   (CAST(n AS DOUBLE) / n_tokens) > 0.2 AS repetitive
+            FROM r WHERE rn = 1 ORDER BY doc_id"""
+
+
 def _u16_le_sql(hx: str, i: int) -> str:
     """Little-endian uint16 at byte offset 2*i of a lowercase-hex digest —
     the SQL mirror of fake_decoder's np.frombuffer(h, dtype=np.uint16)."""
@@ -1284,16 +1466,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranking": q_bm25_ranking,
         "dup_span_fraction": q_dup_span_fraction,
         "minhash_jaccard_verified": q_minhash_jaccard_verified,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "decontaminate_docs": q_decontaminate_docs,
         "corpus_trim_spans": q_corpus_trim_spans,
         "dup_ngram_stats": q_dup_ngram_stats,
         "simhash_near_dups": q_simhash_near_dups,
-        "doc_fingerprint": q_doc_fingerprint,
+        "pii_redaction": q_pii_redaction,
         "lang_id_docs": q_lang_id_docs,
-        "bpe_token_count": q_bpe_token_count,
+        "pack_training_sequences": q_pack_training_sequences,
         "doc_quality_full": q_doc_quality_full,
         "corpus_clean": q_corpus_clean,
-        "stratified_sample_docs": q_stratified_sample_docs,
+        "top_token_coverage": q_top_token_coverage,
         "vocab_top_tokens": q_vocab_top_tokens,
         "key_set_ops": q_key_set_ops,
         "doc_content_sha": q_doc_content_sha,
@@ -1487,19 +1669,7 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(t.tk), 1) AS dup_fraction
             FROM toks t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id""",
         "minhash_jaccard_verified": _minhash_jaccard_oracle(),
-        "ngram_jaccard_pairs": f"""
-            WITH t0 AS (SELECT doc_id, substr(text, 1, 16) AS b,
-                               list_distinct({_TOKS_SQL}) AS tk FROM documents),
-            ok AS (SELECT b FROM t0 GROUP BY b
-                   HAVING count(*) > 1 AND count(*) <= 50),
-            t AS (SELECT t0.* FROM t0 JOIN ok USING (b))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-                       len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
-            FROM t a JOIN t b ON a.b = b.b AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-                  len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
-            ORDER BY id_a, id_b""",
+        "decontaminate_docs": _decontam_oracle(),
         "corpus_trim_spans": _dupwin_ctes(10) + """,
             cov AS (SELECT DISTINCT w.doc_id, w.pos + p.p AS p
                     FROM wins w JOIN dup USING (g), range(0, 10) p(p)),
@@ -1546,25 +1716,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM cand)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
             ORDER BY id_a, id_b""",
-        "doc_fingerprint": f"""
-            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-            g AS (SELECT doc_id,
-                    list_transform(range(1, greatest(len(tk)-4, 1)+1),
-                      i -> sha256(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
-                      AS grams FROM t)
-            SELECT doc_id,
-                   sha256(array_to_string(
-                       list_slice(list_sort(list_distinct(grams)), 1, 8), ','))
-                     AS fingerprint
-            FROM g ORDER BY doc_id""",
+        "pii_redaction": _pii_oracle(),
         "lang_id_docs": _LANG_SQL,
         "doc_quality_full": _QUALITY_SQL,
-        "bpe_token_count": f"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^\\sA-Za-z0-9]'))
-                     AS n_bpe_tokens,
-                   len({_TOKS_SQL}) AS n_ws_tokens
-            FROM documents ORDER BY doc_id""",
+        "pack_training_sequences": _PACK_ORACLE,
+        "top_token_coverage": _TOPTOKEN_ORACLE,
         "doc_content_sha": """
             SELECT doc_id, sha256(text) AS content_sha
             FROM documents ORDER BY doc_id""",
@@ -1655,7 +1811,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS start_ms,
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
-        "stratified_sample_docs": _stratified_sample_oracle(),
         "vocab_top_tokens": r"""
             WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
                                                            '\s+')) AS token
@@ -1721,6 +1876,19 @@ RETIRED_QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "cube_order_stats": q_cube_order_stats,
     "embedding_ann_lsh_topk": q_embedding_ann_lsh_topk,
+    # r6b rotation: four near-twins ceded slots to the curation operators
+    # (decontaminate_docs, pii_redaction, pack_training_sequences,
+    # top_token_coverage). Machinery coverage by certified siblings:
+    # ngram_jaccard_pairs ⊂ minhash_jaccard_verified (same jaccard_verify
+    # array expressions), doc_fingerprint ⊂ neardup_banded_pairs +
+    # doc_content_sha (sha n-gram machinery), bpe_token_count ⊂
+    # doc_quality_full + vocab_top_tokens (tokenize-and-count), and
+    # stratified_sample_docs ⊂ decontaminate_docs (the identical
+    # hash_int-threshold split IS its benchmark selection).
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bpe_token_count": q_bpe_token_count,
+    "stratified_sample_docs": q_stratified_sample_docs,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -1758,6 +1926,37 @@ RETIRED_ORACLE_SQL = {
         ORDER BY gid, o_orderpriority ASC NULLS FIRST,
                  o_orderstatus ASC NULLS FIRST""",
     "embedding_ann_lsh_topk": _ann_oracle(_TOPK),
+    "ngram_jaccard_pairs": f"""
+        WITH t0 AS (SELECT doc_id, substr(text, 1, 16) AS b,
+                           list_distinct({_TOKS_SQL}) AS tk FROM documents),
+        ok AS (SELECT b FROM t0 GROUP BY b
+               HAVING count(*) > 1 AND count(*) <= 50),
+        t AS (SELECT t0.* FROM t0 JOIN ok USING (b))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+        FROM t a JOIN t b ON a.b = b.b AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+        ORDER BY id_a, id_b""",
+    "doc_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                list_transform(range(1, greatest(len(tk)-4, 1)+1),
+                  i -> sha256(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
+                  AS grams FROM t)
+        SELECT doc_id,
+               sha256(array_to_string(
+                   list_slice(list_sort(list_distinct(grams)), 1, 8), ','))
+                 AS fingerprint
+        FROM g ORDER BY doc_id""",
+    "bpe_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^\\sA-Za-z0-9]'))
+                 AS n_bpe_tokens,
+               len({_TOKS_SQL}) AS n_ws_tokens
+        FROM documents ORDER BY doc_id""",
+    "stratified_sample_docs": _stratified_sample_oracle(),
 }
 
 BASELINE_ORACLE_SQL = {

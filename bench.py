@@ -58,11 +58,16 @@ R5_CORPUS_OPS = [
     "dup_ngram_stats",
 ]
 
-# r6 additions (rotation round): PQ/ADC retrieval and the streaming
-# near-dup's batch twin — measured per-query, excluded from the headline
+# r6 additions (rotation round): PQ/ADC retrieval, the streaming near-dup's
+# batch twin, and the four curation operators — measured per-query,
+# excluded from the headline
 R6_OPS = [
     "pq_adc_topk",
     "neardup_banded_pairs",
+    "decontaminate_docs",
+    "pii_redaction",
+    "pack_training_sequences",
+    "top_token_coverage",
 ]
 
 

@@ -160,6 +160,31 @@ QUERY_AUDIT = {
             ("keep-first star via ranking window", "Window"),
             ("codegen'd signature (no UDF)", "codegen id"),
         ],
+        # r6b curation rows (operators/curation.py)
+        "decontaminate_docs": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("benchmark n-gram index broadcast to the corpus side",
+             "BroadcastHashJoin"),
+            ("map-side combined per-doc overlap counts", "HashAggregate"),
+        ],
+        "pii_redaction": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no joins — pure narrow projection", "Join", False),
+            ("codegen'd regexp pipeline", "codegen id"),
+        ],
+        "pack_training_sequences": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("bucket offsets broadcast back (driver-sized side)",
+             "BroadcastHashJoin"),
+            ("parallel within-bucket running sums", "Window"),
+        ],
+        "top_token_coverage": [
+            ("no Python anywhere", "EvalPython", False),
+            ("map-side combined (doc, token) counts", "HashAggregate"),
+            ("rank-1 filter pushed into the window", "WindowGroupLimit"),
+        ],
         "dup_ngram_stats": [
             ("no Python anywhere", "EvalPython", False),
             # partial agg before the FIRST shuffle; the SECOND stage is a

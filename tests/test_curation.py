@@ -1,0 +1,158 @@
+"""Unit tests for operators/curation.py: benchmark decontamination, PII
+redaction (on REAL PII-shaped strings, unlike the driver row's synthetic
+injection), sequence packing (two-level prefix sum vs a naive reference),
+and top-token coverage."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.operators.curation import (
+    decontaminate, pack_bin_stats, pack_sequences, pii_redact,
+    strict_word_ngrams, top_token_coverage)
+from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+
+
+def _hash_int(key, salt=""):
+    """Pure-python replica of sampling.hash_int (sha256 first 13 hex)."""
+    h = hashlib.sha256((salt + str(key)).encode()).hexdigest()
+    return int(h[:13], 16)
+
+
+def _is_bench(doc_id, rate=0.05, salt="bench"):
+    return _hash_int(doc_id, salt) < threshold_for(rate)
+
+
+# ------------------------------------------------------------- n-grams
+
+def test_strict_ngrams_empty_below_n(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "a b c d e f")], "id long, t string")
+    out = {r["id"]: r["g"] for r in
+           df.select("id", strict_word_ngrams(F.col("t"), 5).alias("g")).collect()}
+    assert out[1] == []                      # 4 tokens < n=5 -> EMPTY, not partial
+    assert out[2] == ["a b c d e", "b c d e f"]
+
+
+# ------------------------------------------------------ decontamination
+
+def test_decontaminate_flags_benchmark_copies(spark):
+    # find one id the portable hash puts in the benchmark slice and two out
+    bench_id = next(i for i in range(1000) if _is_bench(i))
+    clean_id, copy_id = [i for i in range(1000) if not _is_bench(i)][:2]
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(bench_id, bench_text),
+            (copy_id, bench_text),                       # verbatim leak
+            (clean_id, "uno dos tres cuatro cinco seis siete ocho")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(df).collect()}
+    assert bench_id not in out                           # bench rows excluded
+    assert out[copy_id]["overlap_frac"] == 1.0
+    assert out[copy_id]["contaminated"] is True
+    assert out[clean_id]["n_overlap"] == 0
+    assert out[clean_id]["contaminated"] is False
+
+
+def test_decontaminate_short_doc_zero_grams(spark):
+    clean_id = next(i for i in range(1000) if not _is_bench(i))
+    df = spark.createDataFrame([(clean_id, "too short")],
+                               "doc_id long, text string")
+    row = decontaminate(df).collect()[0]
+    assert (row["n_grams"], row["n_overlap"], row["overlap_frac"],
+            row["contaminated"]) == (0, 0, 0.0, False)
+
+
+# ------------------------------------------------------- PII redaction
+
+def test_pii_redact_real_shapes(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.co.uk or 192.168.1.77"),
+        (2, "call 555-0134 and 555-9999 twice"),
+        (3, "no pii here just words"),
+        (4, "mixed bob@x.io from 10.0.0.1 dial 123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 0)
+    assert out[1]["redacted"] == "reach me at <EMAIL> or <IP>"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == "call <PHONE> and <PHONE> twice"
+    assert out[3]["pii_free"] is True and out[3]["redacted"] == rows[2][1]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[4]["redacted"] == "mixed <EMAIL> from <IP> dial <PHONE>"
+    for r in out.values():
+        assert r["redacted_sha"] == hashlib.sha256(
+            r["redacted"].encode()).hexdigest()
+
+
+# ----------------------------------------------------- sequence packing
+
+def _naive_pack(rows, budget=512, salt="pack"):
+    """Reference: single global cumsum in python over the same order."""
+    ordered = sorted(rows, key=lambda r: (_hash_int(r[0], salt), r[0]))
+    out, cum = {}, 0
+    for doc_id, text in ordered:
+        tok = len(text.strip().split())
+        out[doc_id] = (tok, cum, (cum) // budget)
+        cum += tok
+    return out
+
+
+def test_pack_sequences_matches_naive_global_cumsum(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 13) % 37 + 1)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["bin_id"])
+           for r in pack_sequences(df, budget=64).collect()}
+    assert got == _naive_pack(rows, budget=64)
+
+
+def test_pack_bin_stats_covers_every_token(spark):
+    rows = [(i, " ".join(["tok"] * ((i % 29) + 1))) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = pack_bin_stats(df, budget=100).orderBy("bin_id").collect()
+    total = sum((i % 29) + 1 for i in range(150))
+    assert sum(r["n_docs"] for r in stats) == 150
+    assert sum(r["bin_tokens"] for r in stats) == total
+    # bins are a contiguous prefix of ids, and a doc only opens bin b+1 once
+    # bins 0..b are exhausted: prefix token sums must clear each boundary
+    ids = [r["bin_id"] for r in stats]
+    assert ids == list(range(len(ids)))
+    prefix = 0
+    for b, r in enumerate(stats[:-1]):
+        prefix += r["bin_tokens"]
+        assert prefix >= (b + 1) * 100
+    assert stats[-1]["fill_frac"] == stats[-1]["bin_tokens"] / 100
+
+
+def test_pack_order_is_partition_independent(spark):
+    rows = [(i, " ".join(["x"] * (i % 11 + 1))) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    a = sorted(map(tuple, pack_sequences(df1, budget=32).collect()))
+    b = sorted(map(tuple, pack_sequences(df8, budget=32).collect()))
+    assert a == b
+
+
+# -------------------------------------------------- top-token coverage
+
+def test_top_token_coverage_counts_and_tiebreak(spark):
+    rows = [(1, "a a a b c"),            # top 'a' 3/5
+            (2, "z y z y"),              # tie 2/2 -> lexicographically 'y'
+            (3, "only")]                 # single token -> frac 1.0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in top_token_coverage(df).collect()}
+    assert out[1]["top_token"] == "a" and out[1]["top_frac"] == 0.6
+    assert out[1]["repetitive"] is True
+    assert out[2]["top_token"] == "y" and out[2]["top_frac"] == 0.5
+    assert out[3]["top_frac"] == 1.0 and out[3]["n_tokens"] == 1
+
+
+def test_top_token_coverage_lowercases(spark):
+    df = spark.createDataFrame([(1, "The the THE word")],
+                               "doc_id long, text string")
+    row = top_token_coverage(df).collect()[0]
+    assert row["top_token"] == "the" and row["top_n"] == 3
