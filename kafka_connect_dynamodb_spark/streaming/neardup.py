@@ -175,6 +175,97 @@ def first_owner_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   .select("doc_id", "dup_of").distinct())
 
 
+def neardup_index(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 16,
+                  bands: int = 4, shingle_k: int = 3,
+                  use_words: bool = False,
+                  portable: bool = False) -> DataFrame:
+    """Corpus LSH index at rest: ``(bucket, owner)`` — the lexicographically
+    first document id per occupied band bucket (the same keep-first-owner
+    rule the stream's state and :func:`first_owner_pairs` use).
+
+    This is how a 100 TB pipeline dedups CONTINUOUSLY: the all-pairs batch
+    pass runs once, then each crawl increment equi-joins its buckets against
+    this index (:func:`incremental_neardup`) instead of re-shuffling the
+    whole corpus. Persist with ``.write.bucketBy(N, "bucket")`` (or sorted
+    parquet) so the per-increment probe join needs no shuffle on the index
+    side; size is one row per occupied bucket — ``bands`` rows per distinct
+    document signature, independent of bucket population."""
+    buckets = banded_buckets(docs, id_col=id_col, text_col=text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_k=shingle_k, use_words=use_words,
+                             portable=portable, aggregated_sig=True)
+    return buckets.groupBy("bucket").agg(F.min("doc_id").alias("owner"))
+
+
+def incremental_neardup(new_docs: DataFrame, index: DataFrame, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_hashes: int = 16, bands: int = 4,
+                        shingle_k: int = 3, use_words: bool = False,
+                        portable: bool = False,
+                        max_bucket_size: int = 50) -> DataFrame:
+    """Near-dup pairs for an ingest INCREMENT: ``(doc_id, dup_of)`` where
+    ``doc_id`` is a new document colliding with either (a) an existing
+    corpus bucket owner from ``index`` or (b) an earlier document within
+    the same increment (via :func:`first_owner_pairs`).
+
+    A document is a near-duplicate iff it shares at least one band bucket
+    with any earlier document — the same contract as running the batch
+    operator over corpus ∪ increment, restricted to the increment, provided
+    increment ids sort after corpus ids (owners are sticky: once a bucket
+    is claimed its owner never changes, exactly the stream's state rule).
+    Pinned by ``test_incremental_neardup_flags_match_full_batch``.
+
+    Scale shape: the increment's buckets (``bands`` rows/doc) hash-join the
+    index on the bucket key — no corpus re-scan, no all-pairs anywhere; the
+    cross side needs no frequency cap (one owner per bucket makes it linear
+    in increment buckets). The intra-increment side keeps the ranked
+    ``max_bucket_size`` cap."""
+    intra = first_owner_pairs(new_docs, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, bands=bands,
+                              shingle_k=shingle_k, use_words=use_words,
+                              portable=portable,
+                              max_bucket_size=max_bucket_size)
+    buckets = banded_buckets(new_docs, id_col=id_col, text_col=text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_k=shingle_k, use_words=use_words,
+                             portable=portable, aggregated_sig=True)
+    cross = (buckets.join(index, "bucket")
+             .filter(F.col("doc_id") != F.col("owner"))
+             .select("doc_id", F.col("owner").alias("dup_of"))
+             .distinct())
+    return intra.unionByName(cross).distinct()
+
+
+def neardup_index_delta(new_docs: DataFrame, pairs: DataFrame,
+                        index: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, shingle_k: int = 3,
+                        use_words: bool = False,
+                        portable: bool = False) -> DataFrame:
+    """Index maintenance after :func:`incremental_neardup`: the
+    ``(bucket, owner)`` rows to APPEND — buckets of the increment's CLEAN
+    (unflagged) documents that the index does not already contain, owned by
+    the first clean document to occupy them. Existing owners are never
+    rewritten (sticky-owner rule), so appending the delta commutes with
+    processing order and the index stays one row per bucket.
+
+    One anti-join on the flagged-doc set + one anti-join on the bucket key;
+    both sides are increment-sized except the index probe, which is the
+    same hash join the dedup itself does."""
+    flagged = pairs.select(F.col("doc_id")).distinct()
+    clean = (new_docs
+             .withColumn("_sid", F.col(id_col).cast("string"))
+             .join(flagged.withColumnRenamed("doc_id", "_sid"),
+                   "_sid", "left_anti")
+             .drop("_sid"))
+    fresh = neardup_index(clean, id_col=id_col, text_col=text_col,
+                          num_hashes=num_hashes, bands=bands,
+                          shingle_k=shingle_k, use_words=use_words,
+                          portable=portable)
+    return fresh.join(index.select("bucket"), "bucket", "left_anti")
+
+
 def neardup_stream(docs: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 16,
                    bands: int = 4, shingle_k: int = 3,

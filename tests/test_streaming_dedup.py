@@ -181,3 +181,98 @@ def test_drained_stream_equals_first_owner_pairs_both_modes(spark, tmp_path):
         if mode["portable"]:
             # portable word-shingle mode still catches the near-dup family
             assert ("d04", "d01") in drained and ("d05", "d02") in drained
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup against a persisted corpus LSH index
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _corpus_and_increment():
+    """Corpus ids sort before increment ids (sticky-owner precondition)."""
+    corpus = [
+        ("a00", "the quick brown fox jumps over the lazy dog today"),
+        ("a01", "pack my box with five dozen liquor jugs right now"),
+        ("a02", "the quick brown fox jumps over the lazy dog today"),  # intra-A dup
+        ("a03", "sphinx of black quartz judge my vow said the king"),
+        ("a04", "how vexingly quick daft zebras jump over fences"),
+    ]
+    increment = [
+        ("b00", "the quick brown fox jumps over the lazy dog today"),  # copy of a00
+        ("b01", "entirely fresh content nothing shared with anyone here"),
+        ("b02", "entirely fresh content nothing shared with anyone here"),  # intra-B dup
+        ("b03", "sphinx of black quartz judge my vow said the king"),  # copy of a03
+        ("b04", "completely novel text that stands alone in the corpus"),
+    ]
+    return corpus, increment
+
+
+def test_incremental_neardup_flags_match_full_batch(spark):
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        first_owner_pairs, incremental_neardup, neardup_index)
+    corpus_rows, inc_rows = _corpus_and_increment()
+    corpus, inc = _docs(spark, corpus_rows), _docs(spark, inc_rows)
+
+    index = neardup_index(corpus, use_words=True)
+    pairs = incremental_neardup(inc, index, use_words=True)
+    inc_flagged = {r["doc_id"] for r in pairs.collect()}
+
+    full = first_owner_pairs(corpus.unionByName(inc), use_words=True)
+    batch_flagged = {r["doc_id"] for r in full.collect()
+                     if r["doc_id"].startswith("b")}
+    assert inc_flagged == batch_flagged
+    # both paths actually exercised: a cross-index dup and an intra-inc dup
+    got = {(r["doc_id"], r["dup_of"]) for r in pairs.collect()}
+    assert ("b00", "a00") in got          # flagged against the corpus index
+    assert ("b02", "b01") in got          # flagged within the increment
+
+
+def test_neardup_index_delta_sticky_and_complete(spark):
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        incremental_neardup, neardup_index, neardup_index_delta)
+    corpus_rows, inc_rows = _corpus_and_increment()
+    corpus, inc = _docs(spark, corpus_rows), _docs(spark, inc_rows)
+
+    index = neardup_index(corpus, use_words=True)
+    pairs = incremental_neardup(inc, index, use_words=True)
+    delta = neardup_index_delta(inc, pairs, index, use_words=True)
+
+    idx_rows = {r["bucket"]: r["owner"] for r in index.collect()}
+    delta_rows = {r["bucket"]: r["owner"] for r in delta.collect()}
+    # delta never touches existing buckets, and owners are clean inc docs
+    assert not set(delta_rows) & set(idx_rows)
+    flagged = {r["doc_id"] for r in pairs.collect()}
+    assert set(delta_rows.values()) <= {i for i, _ in inc_rows} - flagged
+
+    # sticky union == full rebuild over corpus + clean increment (corpus ids
+    # sort first, so the rebuild's min-id owner = the sticky owner)
+    clean = inc.join(pairs.select("doc_id").distinct(), "doc_id", "left_anti")
+    rebuilt = {(r["bucket"], r["owner"]) for r in
+               neardup_index(corpus.unionByName(clean),
+                             use_words=True).collect()}
+    assert rebuilt == set(idx_rows.items()) | set(delta_rows.items())
+
+
+def test_incremental_neardup_next_increment_sees_updated_index(spark):
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        incremental_neardup, neardup_index, neardup_index_delta)
+    corpus_rows, inc_rows = _corpus_and_increment()
+    corpus, inc = _docs(spark, corpus_rows), _docs(spark, inc_rows)
+
+    index = neardup_index(corpus, use_words=True)
+    pairs = incremental_neardup(inc, index, use_words=True)
+    index2 = index.unionByName(
+        neardup_index_delta(inc, pairs, index, use_words=True))
+
+    # next increment: an exact copy of a CLEAN b-doc must now be flagged
+    # against the appended owner, not missed
+    c = _docs(spark, [
+        ("c00", "completely novel text that stands alone in the corpus"),
+        ("c01", "never before seen words in this tiny universe")])
+    pairs2 = incremental_neardup(c, index2, use_words=True)
+    got = {(r["doc_id"], r["dup_of"]) for r in pairs2.collect()}
+    assert ("c00", "b04") in got
+    assert all(d != "c01" for d, _ in got)
