@@ -64,22 +64,38 @@ def decontaminate(df: DataFrame, *, id_col: str = "doc_id",
 
     Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark n-gram
     index is DISTINCT word n-grams of the small side only — broadcast to
-    every executor, so the corpus side is scored by one explode + one
-    broadcast-hash left join + one map-side-combinable groupBy on the
-    document id. No corpus-vs-corpus shuffle anywhere; the one exchange is
-    the per-doc count aggregation, which AQE coalesces.
+    every executor, so the corpus side is scored by one position-explode,
+    one map-side-combined (doc, gram) distinct, one broadcast-hash left
+    join and one groupBy on the document id. No corpus-vs-corpus shuffle
+    anywhere; the dominant exchange is the per-doc gram dedup, whose
+    partial aggregation removes within-doc repeats before the wire.
     """
+    from .dedup import fan_out
+
     is_bench = hash_int(F.col(id_col), bench_salt) < F.lit(
         threshold_for(bench_rate))
-    grams = df.select(F.col(id_col),
-                      strict_word_ngrams(F.col(text_col), n).alias("_grams"),
-                      is_bench.alias("_is_bench"))
+    # Explode token POSITIONS first, then build each gram with codegen'd
+    # slice+concat_ws per exploded row — NOT explode(strict_word_ngrams(..)):
+    # a generator over the interpreted higher-order array builder re-walks
+    # the array construction per emitted row (measured ~6x at sf0.1, the
+    # same blowup class as the r6 sha-MinHash fix in dedup.py). fan_out
+    # first so a single-file input doesn't serialize the gram build either.
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (fan_out(df)
+            .select(F.col(id_col), is_bench.alias("_is_bench"),
+                    toks.alias("_tk"))
+            .withColumn("_dl", F.size("_tk"))
+            .filter(F.col("_dl") >= n))          # short docs: no grams
+    gram = F.concat_ws(" ", F.slice("_tk", F.col("_p") + 1, n))
+    pos_grams = (base.select(
+        id_col, "_is_bench", "_tk",
+        F.explode(F.sequence(F.lit(0), F.col("_dl") - n)).alias("_p"))
+        .select(id_col, "_is_bench", gram.alias("gram")))
 
-    bench_index = (grams.filter("_is_bench")
-                        .select(F.explode("_grams").alias("gram"))
-                        .distinct())
-    corpus = grams.filter(~F.col("_is_bench"))
-    corpus_grams = corpus.select(id_col, F.explode("_grams").alias("gram"))
+    bench_index = (pos_grams.filter("_is_bench").select("gram").distinct())
+    corpus = df.select(F.col(id_col)).filter(~is_bench)
+    corpus_grams = (pos_grams.filter(~F.col("_is_bench"))
+                    .select(id_col, "gram").distinct())
 
     hits = (corpus_grams
             .join(F.broadcast(bench_index.withColumn("_hit", F.lit(1))),
