@@ -773,6 +773,25 @@ def q_pack_training_sequences(spark, sf_dir):
     return pack_bin_stats(docs, budget=512).orderBy("bin_id")
 
 
+def q_unigram_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter: a deterministic 5% "reference" slice
+    (portable hash threshold, salt 'lm') trains an add-one-smoothed unigram
+    LM; every other document is scored by mean negative log-probability
+    under it, flagged below the keep threshold. The per-doc sum is a
+    sorted ordered fold so the emitted double is bit-for-bit reproducible
+    across engines (see operators/text.py::unigram_lm_nll)."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        hash_int, threshold_for)
+    from kafka_connect_dynamodb_spark.operators.text import unigram_lm_nll
+    docs = _t(spark, sf_dir, "documents")
+    is_ref = hash_int(F.col("doc_id"), "lm") < F.lit(threshold_for(0.05))
+    # threshold sits inside the corpus nll band (3.33-3.69 here) so the
+    # driver row exercises BOTH flag branches
+    return (unigram_lm_nll(docs.filter(~is_ref), docs.filter(is_ref),
+                           nll_threshold=3.45)
+            .orderBy("doc_id"))
+
+
 def q_top_token_coverage(spark, sf_dir):
     """Gopher-family repetition signal: share of each document's tokens
     taken by its most frequent token (ties -> lexicographically smallest),
@@ -1418,6 +1437,48 @@ _TOPTOKEN_ORACLE = f"""
             FROM r WHERE rn = 1 ORDER BY doc_id"""
 
 
+def _unigram_lm_oracle(ref_rate: float = 0.05, salt: str = "lm",
+                       nll_threshold: float = 6.0) -> str:
+    """SQL mirror of text.unigram_lm_nll over the hash-split documents
+    table: same add-one smoothing, same sorted left-fold per-doc sum
+    (list_sort + list_reduce == sort_array + F.aggregate, both sequential),
+    so the emitted double is bit-exact, not merely close."""
+    from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+    thr = threshold_for(ref_rate)
+    nll = "(-ssum) / CAST(n_tokens AS DOUBLE)"
+    return f"""
+            WITH lab AS (SELECT doc_id, text,
+                    (CAST('0x' || substr(sha256('{salt}'
+                         || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                     < {thr}) AS is_ref
+                  FROM documents),
+            tok AS (SELECT doc_id, is_ref,
+                           unnest(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) AS token
+                    FROM lab),
+            refc AS (SELECT token, count(*) AS c FROM tok WHERE is_ref
+                     GROUP BY token),
+            scal AS (SELECT (SELECT count(*) FROM tok WHERE is_ref)
+                            + (SELECT count(DISTINCT token) FROM tok) AS tv),
+            tft AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                    WHERE NOT is_ref GROUP BY doc_id, token),
+            j AS (SELECT tft.doc_id, tft.tf,
+                         struct_pack(token := tft.token,
+                                     v := CAST(tft.tf AS DOUBLE)
+                                          * ln(CAST(coalesce(refc.c, 0) + 1
+                                                    AS DOUBLE) / scal.tv)) AS s
+                  FROM tft LEFT JOIN refc USING (token), scal),
+            agg AS (SELECT doc_id,
+                           list_reduce(list_transform(list_sort(list(s)),
+                                                      x -> x.v),
+                                       (a, b) -> a + b) AS ssum,
+                           CAST(sum(tf) AS BIGINT) AS n_tokens
+                    FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tokens, {nll} AS nll,
+                   ({nll}) <= {nll_threshold} AS low_nll
+            FROM agg ORDER BY doc_id"""
+
+
 def _u16_le_sql(hx: str, i: int) -> str:
     """Little-endian uint16 at byte offset 2*i of a lowercase-hex digest —
     the SQL mirror of fake_decoder's np.frombuffer(h, dtype=np.uint16)."""
@@ -1451,7 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q_q3_top_revenue_orders,
         "topk_per_group": q_topk_per_group,
         "anti_join_inactive": q_anti_join_inactive,
-        "semi_join_active_nations": q_semi_join_active_nations,
+        "unigram_lm_quality": q_unigram_lm_quality,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "grouping_sets_order_stats": q_grouping_sets_order_stats,
         "neardup_banded_pairs": q_neardup_banded_pairs,
@@ -1583,12 +1644,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, count(*) AS n_inactive FROM customer
             WHERE c_custkey NOT IN (SELECT user_id FROM events)
             GROUP BY c_nationkey ORDER BY c_nationkey""",
-        "semi_join_active_nations": """
-            SELECT n_nationkey, n_name FROM nation
-            WHERE n_nationkey IN
-                  (SELECT c_nationkey FROM customer
-                   WHERE c_custkey IN (SELECT o_custkey FROM orders))
-            ORDER BY n_nationkey""",
+        "unigram_lm_quality": _unigram_lm_oracle(nll_threshold=3.45),
         "tf_idf_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
                           FROM documents),
@@ -1889,6 +1945,10 @@ RETIRED_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "bpe_token_count": q_bpe_token_count,
     "stratified_sample_docs": q_stratified_sample_docs,
+    # r6c: ceded its slot to unigram_lm_quality. LeftSemi machinery stays
+    # driver-certified by corpus_trim_spans (plan-audited LeftSemi) and
+    # minhash_jaccard_verified (semi-join-pruned candidates).
+    "semi_join_active_nations": q_semi_join_active_nations,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -1957,6 +2017,12 @@ RETIRED_ORACLE_SQL = {
                len({_TOKS_SQL}) AS n_ws_tokens
         FROM documents ORDER BY doc_id""",
     "stratified_sample_docs": _stratified_sample_oracle(),
+    "semi_join_active_nations": """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey IN
+              (SELECT c_nationkey FROM customer
+               WHERE c_custkey IN (SELECT o_custkey FROM orders))
+        ORDER BY n_nationkey""",
 }
 
 BASELINE_ORACLE_SQL = {

@@ -68,6 +68,7 @@ R6_OPS = [
     "pii_redaction",
     "pack_training_sequences",
     "top_token_coverage",
+    "unigram_lm_quality",
 ]
 
 

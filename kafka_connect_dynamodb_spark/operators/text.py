@@ -183,6 +183,67 @@ def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
                           "df", "tf_idf", "rk"))
 
 
+def lm_corpus_stats(df: DataFrame, ref: DataFrame, *,
+                    text_col: str = "text") -> tuple[int, int]:
+    """(reference token total T, union vocabulary size V) in one driver job
+    each — the two scalars :func:`unigram_lm_nll` embeds as literals
+    (same zero-repeat-jobs contract as :func:`corpus_stats`)."""
+    tok = lambda d: d.select(  # noqa: E731
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    t = tok(ref).count()
+    v = tok(df).union(tok(ref)).select("token").distinct().count()
+    return int(t), int(v)
+
+
+def unigram_lm_nll(df: DataFrame, ref: DataFrame, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   nll_threshold: float = 6.0,
+                   stats: tuple[int, int] | None = None) -> DataFrame:
+    """CCNet-style language-model quality filter: score every document of
+    ``df`` by its mean negative log-probability under an add-one-smoothed
+    UNIGRAM model trained on the ``ref`` corpus (CCNet/RedPajama train a
+    small LM on a clean reference corpus and keep low-perplexity pages;
+    the unigram model is that pass with the sequence model reduced to its
+    relational core):
+
+        nll(d)  = -(1/|d|) * sum_t  tf(t,d) * ln((c_ref(t) + 1) / (T + V))
+
+    ``low_nll`` flags documents under ``nll_threshold`` (the keep side).
+
+    Scale shape: one explode + map-side-combined (doc, token) counts; the
+    reference vocabulary broadcasts into the scoring join (a trained LM is
+    always small next to the corpus); one groupBy on the document id. The
+    per-doc sum is an ORDERED fold — collect the (token, contribution)
+    structs, sort by token, left-fold — because float addition is not
+    associative: a partition-order ``F.sum`` would jitter in the last ulp
+    across runs and engines, while the sorted fold is bit-for-bit
+    reproducible (the SQL oracle folds the same sorted list). The fold
+    buffer is bounded by a document's DISTINCT token count, i.e. by the
+    document length — the same bound every per-doc array op here carries.
+    """
+    if stats is None:
+        stats = lm_corpus_stats(df, ref, text_col=text_col)
+    t_total, vocab = stats
+    ref_counts = (ref.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("c")))
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col)
+    lp = F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+               / F.lit(float(t_total + vocab)))
+    contrib = F.col("tf").cast("double") * lp
+    per_doc = (tf.join(F.broadcast(ref_counts), "token", "left")
+               .select("id", "tf", F.struct(F.col("token"),
+                                            contrib.alias("v")).alias("s"))
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list("s")).alias("arr"),
+                    F.sum("tf").alias("n_tokens")))
+    total = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["v"])
+    nll = (-total) / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        F.col("id").alias(id_col), "n_tokens", nll.alias("nll"),
+        (nll <= F.lit(nll_threshold)).alias("low_nll"))
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str], *,
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75,

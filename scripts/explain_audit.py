@@ -185,6 +185,15 @@ QUERY_AUDIT = {
             ("map-side combined (doc, token) counts", "HashAggregate"),
             ("rank-1 filter pushed into the window", "WindowGroupLimit"),
         ],
+        # r6c LM-quality row (operators/text.py::unigram_lm_nll)
+        "unigram_lm_quality": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("reference LM broadcast into the scoring join",
+             "BroadcastHashJoin"),
+            ("map-side combined (doc, token) tf counts", "HashAggregate"),
+            ("doc-length-bounded ordered-fold collect", "ObjectHashAggregate"),
+        ],
         "dup_ngram_stats": [
             ("no Python anywhere", "EvalPython", False),
             # partial agg before the FIRST shuffle; the SECOND stage is a

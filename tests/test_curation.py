@@ -156,3 +156,35 @@ def test_top_token_coverage_lowercases(spark):
                                "doc_id long, text string")
     row = top_token_coverage(df).collect()[0]
     assert row["top_token"] == "the" and row["top_n"] == 3
+
+
+# ------------------------------------------------- unigram LM quality
+
+def test_unigram_lm_nll_hand_computed(spark):
+    import math
+    from kafka_connect_dynamodb_spark.operators.text import unigram_lm_nll
+    ref = spark.createDataFrame([(100, "a a b")], "doc_id long, text string")
+    df = spark.createDataFrame([(1, "a b"), (2, "zz zz")],
+                               "doc_id long, text string")
+    # T=3 ref tokens; V = |{a, b, zz}| = 3; add-one: P(a)=3/6, P(b)=2/6,
+    # P(zz)=1/6 (OOV)
+    out = {r["doc_id"]: r for r in
+           unigram_lm_nll(df, ref, nll_threshold=1.0).collect()}
+    exp1 = -(math.log(3 / 6) + math.log(2 / 6)) / 2
+    exp2 = -(2 * math.log(1 / 6)) / 2
+    assert out[1]["nll"] == pytest.approx(exp1, abs=1e-12)
+    assert out[2]["nll"] == pytest.approx(exp2, abs=1e-12)
+    assert out[1]["low_nll"] is True and out[2]["low_nll"] is False
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 2
+
+
+def test_unigram_lm_nll_partition_independent(spark):
+    from kafka_connect_dynamodb_spark.operators.text import unigram_lm_nll
+    rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(1, 12)))
+            for i in range(60)]
+    ref = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    d1 = spark.createDataFrame(rows[10:], "doc_id long, text string").repartition(1)
+    d8 = spark.createDataFrame(rows[10:], "doc_id long, text string").repartition(8)
+    a = sorted(map(tuple, unigram_lm_nll(d1, ref).collect()))
+    b = sorted(map(tuple, unigram_lm_nll(d8, ref).collect()))
+    assert a == b  # bit-exact: the ordered fold removes partition-order jitter
