@@ -803,6 +803,29 @@ def q_top_token_coverage(spark, sf_dir):
     return top_token_coverage(docs).orderBy("doc_id")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Full Gopher repetition suite (Rae et al. 2021 table A1): per-doc
+    char coverage of the most frequent word n-gram (n=2..4) and of
+    duplicated n-grams (n=5..10, char-span interval UNION), one wide row
+    per doc with the composed removal flag. The synthetic corpus has no
+    within-doc repeats, so docs with id % 5 == 0 get their first 12
+    tokens appended once — deterministic, derived only from table
+    columns (the pii_redaction precedent) — which makes the dup branch
+    produce real interval-merge work (two disjoint duplicated islands
+    per augmented doc) and exercises both flag branches."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        gopher_repetition)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" "),
+                 F.concat_ws(" ", F.slice(toks, 1, 12)))
+    ).otherwise(F.col("text"))
+    return (gopher_repetition(docs.select("doc_id", aug.alias("text")))
+            .orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings (array<float>, dim 64)
 # --------------------------------------------------------------------------
@@ -1437,6 +1460,97 @@ _TOPTOKEN_ORACLE = f"""
             FROM r WHERE rn = 1 ORDER BY doc_id"""
 
 
+def _gopher_oracle() -> str:
+    """SQL mirror of curation.gopher_repetition over the augmented docs of
+    q_gopher_repetition (docs with id % 5 == 0 get their first 12 tokens
+    appended). Exact-integer char arithmetic everywhere, one double
+    division per emitted fraction — bit-identical to the Spark plan."""
+    top_cols = ",\n                ".join(
+        f"max(CASE WHEN n = {n} THEN gram END) AS tg{n},\n"
+        f"                max(CASE WHEN n = {n} THEN num END) AS tn{n}"
+        for n in (2, 3, 4))
+    cov_cols = ",\n                ".join(
+        f"max(CASE WHEN n = {n} THEN covered END) AS cov{n}"
+        for n in range(5, 11))
+    frac_sel = []
+    flags = []
+    for n, th in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        frac_sel.append(f"tg{n} AS top{n}_gram")
+        frac_sel.append(
+            f"CAST(coalesce(tn{n}, 0) AS DOUBLE)"
+            f" / greatest(n_chars, 1) AS top{n}_frac")
+        flags.append(
+            f"(CAST(coalesce(tn{n}, 0) AS DOUBLE)"
+            f" / greatest(n_chars, 1)) > {th}")
+    for n, th in ((5, 0.15), (6, 0.14), (7, 0.13),
+                  (8, 0.12), (9, 0.11), (10, 0.10)):
+        frac_sel.append(
+            f"CAST(coalesce(cov{n}, 0) AS DOUBLE)"
+            f" / greatest(n_chars, 1) AS dup{n}_frac")
+        flags.append(
+            f"(CAST(coalesce(cov{n}, 0) AS DOUBLE)"
+            f" / greatest(n_chars, 1)) > {th}")
+    fracs = ",\n                   ".join(frac_sel)
+    flag = "\n                    OR ".join(flags)
+    return f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' ' ||
+                               array_to_string(({_CTOKS_SQL})[1:12], ' ')
+                          ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM aug),
+            d AS (SELECT doc_id, tk, len(tk) AS dl,
+                         CAST(length(array_to_string(tk, ' ')) AS BIGINT)
+                             AS n_chars
+                  FROM toks),
+            pos AS (SELECT doc_id, dl, tk, unnest(range(0, dl)) AS p FROM d),
+            cs AS (SELECT *, coalesce(sum(length(tk[p+1]) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cstart
+                   FROM pos),
+            og AS (SELECT doc_id, p, cstart, nn.n AS n,
+                          array_to_string(tk[p+1:p+nn.n], ' ') AS gram,
+                          length(array_to_string(tk[p+1:p+nn.n], ' ')) AS gl
+                   FROM cs CROSS JOIN
+                        (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) nn
+                   WHERE p <= dl - nn.n),
+            topc AS (SELECT doc_id, n, gram, gl, count(*) AS c
+                     FROM og WHERE n <= 4 GROUP BY 1, 2, 3, 4),
+            top1 AS (SELECT doc_id, n, gram, CAST(c * gl AS BIGINT) AS num,
+                            row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gram ASC) AS rk
+                     FROM topc),
+            topw AS (SELECT doc_id,
+                {top_cols}
+                     FROM top1 WHERE rk = 1 GROUP BY doc_id),
+            dc AS (SELECT *, count(*) OVER (
+                       PARTITION BY doc_id, n, gram) AS c
+                   FROM og WHERE n >= 5),
+            dd AS (SELECT doc_id, n, p, cstart, cstart + gl AS cend
+                   FROM dc WHERE c >= 2),
+            m AS (SELECT doc_id, n, cstart, cend,
+                         max(cend) OVER (PARTITION BY doc_id, n ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pe
+                  FROM dd),
+            cov AS (SELECT doc_id, n,
+                           sum(greatest(0, cend - greatest(cstart,
+                               coalesce(pe, cstart)))) AS covered
+                    FROM m GROUP BY 1, 2),
+            covw AS (SELECT doc_id,
+                {cov_cols}
+                     FROM cov GROUP BY doc_id)
+            SELECT d.doc_id, d.n_chars,
+                   {fracs},
+                   ({flag}) AS repetitive
+            FROM d LEFT JOIN topw USING (doc_id)
+                   LEFT JOIN covw USING (doc_id)
+            ORDER BY d.doc_id"""
+
+
 def _unigram_lm_oracle(ref_rate: float = 0.05, salt: str = "lm",
                        nll_threshold: float = 6.0) -> str:
     """SQL mirror of text.unigram_lm_nll over the hash-split documents
@@ -1536,7 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences": q_pack_training_sequences,
         "doc_quality_full": q_doc_quality_full,
         "corpus_clean": q_corpus_clean,
-        "top_token_coverage": q_top_token_coverage,
+        "gopher_repetition": q_gopher_repetition,
         "vocab_top_tokens": q_vocab_top_tokens,
         "key_set_ops": q_key_set_ops,
         "doc_content_sha": q_doc_content_sha,
@@ -1776,7 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_docs": _LANG_SQL,
         "doc_quality_full": _QUALITY_SQL,
         "pack_training_sequences": _PACK_ORACLE,
-        "top_token_coverage": _TOPTOKEN_ORACLE,
+        "gopher_repetition": _gopher_oracle(),
         "doc_content_sha": """
             SELECT doc_id, sha256(text) AS content_sha
             FROM documents ORDER BY doc_id""",
@@ -1949,6 +2063,11 @@ RETIRED_QUERIES = {
     # driver-certified by corpus_trim_spans (plan-audited LeftSemi) and
     # minhash_jaccard_verified (semi-join-pruned candidates).
     "semi_join_active_nations": q_semi_join_active_nations,
+    # r6d: ceded its slot to gopher_repetition, whose top-gram branch is
+    # the n-gram generalization of this row's explode + combine +
+    # WindowGroupLimit rank-1 machinery (same count/rank/tiebreak shape,
+    # n=1 -> n=2..4) and whose dup branch adds the char-interval union.
+    "top_token_coverage": q_top_token_coverage,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -2023,6 +2142,7 @@ RETIRED_ORACLE_SQL = {
               (SELECT c_nationkey FROM customer
                WHERE c_custkey IN (SELECT o_custkey FROM orders))
         ORDER BY n_nationkey""",
+    "top_token_coverage": _TOPTOKEN_ORACLE,
 }
 
 BASELINE_ORACLE_SQL = {

@@ -69,6 +69,7 @@ R6_OPS = [
     "pack_training_sequences",
     "top_token_coverage",
     "unigram_lm_quality",
+    "gopher_repetition",
 ]
 
 

@@ -185,6 +185,19 @@ QUERY_AUDIT = {
             ("map-side combined (doc, token) counts", "HashAggregate"),
             ("rank-1 filter pushed into the window", "WindowGroupLimit"),
         ],
+        # r6d Gopher repetition suite (operators/curation.py) — single
+        # metric lineage: count/rank/interval-union windows all ride one
+        # doc-id exchange, no branch fork re-evaluating the explode
+        "gopher_repetition": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("no join in the metric lineage (all-window single pass)",
+             "SortMergeJoin", False),
+            ("partial+final per-doc aggregate riding the window sort "
+             "(no exchange between them)", "SortAggregate"),
+            ("per-doc metrics broadcast into the doc join",
+             "BroadcastHashJoin"),
+        ],
         # r6c LM-quality row (operators/text.py::unigram_lm_nll)
         "unigram_lm_quality": [
             ("no Python anywhere", "EvalPython", False),

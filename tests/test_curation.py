@@ -188,3 +188,99 @@ def test_unigram_lm_nll_partition_independent(spark):
     a = sorted(map(tuple, unigram_lm_nll(d1, ref).collect()))
     b = sorted(map(tuple, unigram_lm_nll(d8, ref).collect()))
     assert a == b  # bit-exact: the ordered fold removes partition-order jitter
+
+
+# ------------------------------------------- Gopher repetition filter
+
+def _brute_gopher(text):
+    """Pure-python reference for gopher_repetition on one document."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        GOPHER_DUP_THRESHOLDS, GOPHER_TOP_THRESHOLDS)
+    tk = text.strip().lower().split()
+    norm = " ".join(tk)
+    nc = max(len(norm), 1)
+    starts, c = [], 0
+    for t in tk:
+        starts.append(c)
+        c += len(t) + 1
+    res = {"n_chars": len(norm)}
+    flags = []
+    for n, th in sorted(GOPHER_TOP_THRESHOLDS.items()):
+        grams = {}
+        for p in range(len(tk) - n + 1):
+            g = " ".join(tk[p:p + n])
+            grams[g] = grams.get(g, 0) + 1
+        if grams:
+            g, cnt = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            res[f"top{n}_gram"], res[f"top{n}_frac"] = g, cnt * len(g) / nc
+        else:
+            res[f"top{n}_gram"], res[f"top{n}_frac"] = None, 0.0
+        flags.append(res[f"top{n}_frac"] > th)
+    for n, th in sorted(GOPHER_DUP_THRESHOLDS.items()):
+        occ = {}
+        for p in range(len(tk) - n + 1):
+            occ.setdefault(" ".join(tk[p:p + n]), []).append(p)
+        covered = set()
+        for g, ps in occ.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    covered.update(range(starts[p], starts[p] + len(g)))
+        res[f"dup{n}_frac"] = len(covered) / nc
+        flags.append(res[f"dup{n}_frac"] > th)
+    res["repetitive"] = any(flags)
+    return res
+
+
+def test_gopher_repetition_hand_case(spark):
+    """12 tokens, first 6 repeated: dup-5 grams sit at positions 0,1,6,7;
+    their single-char-token spans union to [0,11) u [12,23) = 22 of 23
+    chars. The top-2 gram ties at count 2 and breaks to 'p q'."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        gopher_repetition)
+    df = spark.createDataFrame(
+        [(1, "p q r s t u p q r s t u")], "doc_id long, text string")
+    r = gopher_repetition(df).collect()[0]
+    assert r.n_chars == 23
+    assert r.top2_gram == "p q" and r.top2_frac == 2 * 3 / 23
+    assert r.dup5_frac == 22 / 23 and r.dup6_frac == 22 / 23
+    assert r.dup7_frac == 0.0            # no 7-gram repeats
+    assert r.repetitive
+
+
+def test_gopher_repetition_matches_bruteforce(spark):
+    """Exact parity with the pure-python reference on a varied corpus:
+    doubled docs, partial repeats, all-distinct, single-token, messy
+    whitespace/case."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        gopher_repetition)
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 60))]
+        if i % 3 == 0:                       # inject a within-doc repeat
+            seg = toks[: rng.randint(2, 12)]
+            toks = toks + seg
+        rows.append((i, " ".join(toks)))
+    rows += [(100, "x"), (101, "  Mixed   CASE tokens   Mixed case TOKENS  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        want = _brute_gopher(text)
+        r = got[doc_id]
+        for k, v in want.items():
+            assert getattr(r, k) == v, (doc_id, k, getattr(r, k), v)
+
+
+def test_gopher_repetition_no_grams_doc(spark):
+    """A doc shorter than every n yields zero coverages, NULL top grams,
+    and repetitive=false — and still emits its row."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        gopher_repetition)
+    df = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    r = gopher_repetition(df).collect()[0]
+    assert r.n_chars == 4 and not r.repetitive
+    assert r.top2_gram is None and r.top2_frac == 0.0
+    assert all(getattr(r, f"dup{n}_frac") == 0.0 for n in range(5, 11))
