@@ -1611,6 +1611,302 @@ _MULTIMODAL_ORACLE = f"""
             FROM h ORDER BY media_id"""
 
 
+# --------------------------------------------------------------------------
+# r6e operators: line-level dedup, DSIR importance resampling, IVF-PQ
+# retrieval, temperature mixture resample
+# --------------------------------------------------------------------------
+
+def _reflow_lines(n: int = 6):
+    """Deterministic 'lines' for the flat synthetic corpus: the lowercased
+    token stream re-joined in groups of ``n`` with newline separators —
+    derived only from table columns (the pii_redaction / gopher_repetition
+    injection precedent), giving line_dedup real cross-document duplicate
+    lines to remove (shared boilerplate-like token runs)."""
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ng = F.ceil(F.size(tk) / F.lit(float(n))).cast("int")
+    return F.concat_ws("\n", F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda g: F.concat_ws(" ", F.slice(tk, g * n + 1, n))))
+
+
+def q_line_dedup_docs(spark, sf_dir):
+    """RefinedWeb-style line-level dedup: every line appearing in >=2
+    distinct documents is removed corpus-wide and each document is rebuilt
+    from its surviving lines (212 duplicated lines across 124 docs at
+    sf0.01 under the 6-token reflow — real interval work on both flag
+    sides). Corpus-wide detection runs on an 8-byte xxhash64 shuffle key;
+    exact integers until one double division per doc."""
+    from kafka_connect_dynamodb_spark.operators.curation import line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (line_dedup(docs.select("doc_id", _reflow_lines().alias("text")))
+            .orderBy("doc_id"))
+
+
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance resampling scores: a deterministic
+    5% 'target' slice (portable hash threshold, salt 'dsir_t') defines the
+    target distribution over 256 hashed unigram buckets; every raw document
+    gets the log-likelihood ratio of its buckets under target vs raw, via
+    the engine's sorted ordered fold. Threshold -1.0 sits inside the
+    log-weight band at all three SFs so both flag branches are exercised.
+    The fold itself is order-pinned, but its ln() inputs go through each
+    engine's libm (JVM StrictMath vs DuckDB std::log — measured 1-2 ulp
+    apart on some arguments), so log_weight is EMITTED float32-rounded
+    while the flag compares the float64 — the proven pq_adc_topk ulp
+    discipline."""
+    from kafka_connect_dynamodb_spark.operators.curation import dsir_importance
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        hash_int, threshold_for)
+    docs = _t(spark, sf_dir, "documents")
+    is_t = hash_int(F.col("doc_id"), "dsir_t") < F.lit(threshold_for(0.05))
+    out = dsir_importance(docs.filter(~is_t), docs.filter(is_t),
+                          n_buckets=256, salt="dsir",
+                          log_w_threshold=-1.0)
+    return (out.select("doc_id", "n_tokens",
+                       F.col("log_weight").cast("float").alias("log_weight"),
+                       "selected")
+               .orderBy("doc_id"))
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ retrieval (FAISS IndexIVFPQ, by_residual=False): vectors at
+    rest as (cell, m=8 nibble codes); the query prunes to its 2 nearest of
+    8 coarse cells, then ADC-scores only the survivors — the two ANN scale
+    levers composed. Same float discipline as pq_adc_topk: fixed-order
+    float64 sum, float32 emission, float64 rank with vec_id tiebreak."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        ivf_centroid, ivf_pq_encode, ivf_pq_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    cents = [ivf_centroid(c, 64, seed=7) for c in range(8)]
+    enc = ivf_pq_encode(emb, books, centroids=cents)
+    top = ivf_pq_topk(enc, books, Q_VEC, _TOPK, centroids=cents, nprobe=2)
+    return top.select("vec_id", "cell",
+                      F.col("adc_dist").cast("float").alias("adc_dist"))
+
+
+def _mix_stratum():
+    return (F.when(F.col("doc_id") % 10 < 6, "head")
+             .when(F.col("doc_id") % 10 < 9, "mid")
+             .otherwise("tail"))
+
+
+def q_temperature_mix_resample(spark, sf_dir):
+    """Temperature-scaled mixture resample (the mT5/XLM-R multilingual
+    rebalance): strata derived deterministically from doc_id with skewed
+    60/30/10 mass, alpha=0.5 (IEEE-exact sqrt — portable across engines,
+    unlike libm pow), keep decision by integer hash threshold. Counts come
+    from one tiny groupBy; rates are driver arithmetic replayed term for
+    term by the SQL oracle."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        temperature_resample)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _mix_stratum().alias("stratum"))
+    return (temperature_resample(docs, "stratum", "doc_id",
+                                 target_frac=0.4, alpha=0.5, salt="mix")
+            .select("doc_id", "stratum", "keep_rate", "kept")
+            .orderBy("doc_id"))
+
+
+def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
+    """SQL mirror of q_line_dedup_docs: same reflow, duplicate detection on
+    the trimmed line STRING (the Spark plan's xxhash64 key is internal —
+    same 2^-64 collision trade the dedup operators document), same ordered
+    reconstruction, exact integers until one double division."""
+    return f"""
+            WITH toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM documents),
+            rf AS (SELECT doc_id,
+                     array_to_string(list_transform(
+                       range(0, CAST(ceil(len(tk) / {float(n)}) AS INT)),
+                       g -> array_to_string(tk[g*{n}+1:g*{n}+{n}], ' ')),
+                       chr(10)) AS text
+                   FROM toks),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM rf),
+            l AS (SELECT doc_id, unnest(range(1, len(la)+1)) AS i, la
+                  FROM ls),
+            lines AS (SELECT doc_id, i, la[i] AS ln, trim(la[i]) AS norm
+                      FROM l),
+            d AS (SELECT norm FROM lines WHERE norm <> ''
+                  GROUP BY norm HAVING count(DISTINCT doc_id) >= {min_docs}),
+            m AS (SELECT lines.*, (d.norm IS NOT NULL) AS dup
+                  FROM lines LEFT JOIN d ON lines.norm = d.norm),
+            agg AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_lines,
+                      CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_dup_lines,
+                      CAST(sum(length(ln)) AS BIGINT) AS tot,
+                      CAST(sum(CASE WHEN dup THEN length(ln) ELSE 0 END)
+                           AS BIGINT) AS rm,
+                      coalesce(array_to_string(
+                        list(ln ORDER BY i) FILTER (WHERE NOT dup),
+                        chr(10)), '') AS text
+                    FROM m GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_dup_lines,
+                   CAST(rm AS DOUBLE) / greatest(tot, 1) AS removed_char_frac,
+                   text
+            FROM agg ORDER BY doc_id"""
+
+
+def _dsir_oracle(rate: float = 0.05, split_salt: str = "dsir_t",
+                 salt: str = "dsir", n_buckets: int = 256,
+                 log_w_threshold: float = -1.0) -> str:
+    """SQL mirror of q_dsir_importance_weights: same portable-hash target
+    split and token buckets, same add-one smoothing, same sorted left-fold
+    per-doc sum (list_sort + list_reduce == sort_array + F.aggregate);
+    float32 emission absorbs the engines' ln() last-ulp disagreement
+    while the flag compares the float64."""
+    from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+    thr = threshold_for(rate)
+    bkt = (f"CAST('0x' || substr(sha256('{salt}' || token), 1, 13) AS BIGINT)"
+           f" % {n_buckets}")
+    return f"""
+            WITH lab AS (SELECT doc_id, text,
+                    (CAST('0x' || substr(sha256('{split_salt}'
+                         || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                     < {thr}) AS is_tgt
+                  FROM documents),
+            tok AS (SELECT doc_id, is_tgt,
+                           {bkt} AS b
+                    FROM (SELECT doc_id, is_tgt,
+                                 unnest(regexp_split_to_array(
+                                     lower(trim(text)), '\\s+')) AS token
+                          FROM lab)),
+            scal AS (SELECT
+                       CAST((SELECT count(*) FROM tok WHERE is_tgt)
+                            + {n_buckets} AS DOUBLE) AS dt,
+                       CAST((SELECT count(*) FROM tok WHERE NOT is_tgt)
+                            + {n_buckets} AS DOUBLE) AS dr),
+            ct AS (SELECT b, count(*) AS c FROM tok WHERE is_tgt GROUP BY b),
+            cr AS (SELECT b, count(*) AS c FROM tok WHERE NOT is_tgt
+                   GROUP BY b),
+            tfb AS (SELECT doc_id, b, count(*) AS tf FROM tok
+                    WHERE NOT is_tgt GROUP BY doc_id, b),
+            j AS (SELECT tfb.doc_id, tfb.tf,
+                         struct_pack(b := tfb.b,
+                                     v := CAST(tfb.tf AS DOUBLE)
+                                          * (ln(CAST(coalesce(ct.c, 0) + 1
+                                                     AS DOUBLE) / scal.dt)
+                                             - ln(CAST(coalesce(cr.c, 0) + 1
+                                                       AS DOUBLE) / scal.dr)))
+                           AS s
+                  FROM tfb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b),
+                       scal),
+            agg AS (SELECT doc_id,
+                           list_reduce(list_transform(list_sort(list(s)),
+                                                      x -> x.v),
+                                       (a, b) -> a + b) AS lw,
+                           CAST(sum(tf) AS BIGINT) AS n_tokens
+                    FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tokens, CAST(lw AS FLOAT) AS log_weight,
+                   lw > {log_w_threshold} AS selected
+            FROM agg ORDER BY doc_id"""
+
+
+def _ivf_pq_oracle(k: int, n_cells: int = 8, nprobe: int = 2,
+                   seed: int = 7) -> str:
+    """SQL mirror of q_ivf_pq_topk: the _ivf_oracle cell assignment composed
+    with the _pq_oracle codes + fixed-order ADC fold, restricted to the
+    query's probe cells. Every float64 intermediate is bit-equal across
+    engines (IEEE-exact sub/mult/ordered-add, first-wins argmin)."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        _py_l2, ivf_centroid)
+    cents = [ivf_centroid(c, 64, seed) for c in range(n_cells)]
+    probe = [cell for _, cell in sorted(
+        (_py_l2(Q_VEC, c), i + 1) for i, c in enumerate(cents))[:nprobe]]
+    cell_exprs = []
+    for c in cents:
+        carr = _vec_sql(c)
+        cell_exprs.append(
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> (list_extract(v, i) - list_extract({carr}, i)) * "
+            f"(list_extract(v, i) - list_extract({carr}, i))), (x, y) -> x + y)")
+    cds = "[" + ", ".join(cell_exprs) + "]"
+    sub = 64 // _PQ_M
+    books = _pq_books()
+    slices = ", ".join(
+        f"list_slice(v, {j * sub + 1}, {(j + 1) * sub}) AS sv{j}"
+        for j in range(_PQ_M))
+    ds_defs, code_defs, adc_lookups = [], [], []
+    for j in range(_PQ_M):
+        d_exprs = []
+        for cvec in books[j]:
+            carr = _vec_sql(cvec)
+            d_exprs.append(
+                f"list_reduce(list_transform(range(1, {sub + 1}), "
+                f"i -> (list_extract(sv{j}, i) - list_extract({carr}, i)) * "
+                f"(list_extract(sv{j}, i) - list_extract({carr}, i))), "
+                f"(x, y) -> x + y)")
+        ds_defs.append("[" + ", ".join(d_exprs) + f"] AS ds{j}")
+        code_defs.append(
+            f"list_position(ds{j}, list_aggregate(ds{j}, 'min')) AS code{j}")
+        qj = Q_VEC[j * sub:(j + 1) * sub]
+        tbl = ("[" + ", ".join(repr(_py_l2(qj, c)) for c in books[j])
+               + "]::DOUBLE[]")
+        adc_lookups.append(f"list_extract({tbl}, code{j})")
+    total = "0.0"
+    for lk in adc_lookups:
+        total = f"({total} + {lk})"
+    return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            a AS (SELECT vec_id, v,
+                         list_position(cds, list_aggregate(cds, 'min')) AS cell
+                  FROM (SELECT vec_id, v, {cds} AS cds FROM v)),
+            p AS (SELECT vec_id, cell, v FROM a
+                  WHERE cell IN ({", ".join(str(x) for x in probe)})),
+            s AS (SELECT vec_id, cell, {slices} FROM p),
+            d AS (SELECT vec_id, cell, {", ".join(ds_defs)} FROM s),
+            c AS (SELECT vec_id, cell, {", ".join(code_defs)} FROM d),
+            t AS (SELECT vec_id, cell, {total} AS adc64 FROM c)
+            SELECT vec_id, cell, CAST(adc64 AS FLOAT) AS adc_dist
+            FROM t ORDER BY adc64 ASC, vec_id LIMIT {k}"""
+
+
+def _temperature_mix_oracle(target_frac: float = 0.4,
+                            salt: str = "mix") -> str:
+    """SQL mirror of q_temperature_mix_resample: the count scalars, the
+    sorted-order weight sum ((head + mid) + tail — Python's fold order over
+    sorted names), the rate formula's exact parenthesization, and the
+    integer threshold trunc are replayed so keep_rate and kept match
+    bit-for-bit. alpha=0.5 via IEEE-exact sqrt."""
+    stratum = ("CASE WHEN doc_id % 10 < 6 THEN 'head' "
+               "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END")
+    rate = {}
+    for s in ("head", "mid", "tail"):
+        rate[s] = (f"least(1.0, (({target_frac} * CAST(c.n AS DOUBLE))"
+                   f" * (c.w{s} / c.sw)) / CAST(c.n{s} AS DOUBLE))")
+    return f"""
+            WITH s AS (SELECT doc_id, {stratum} AS stratum FROM documents),
+            c AS (SELECT nh AS nhead, nm AS nmid, nt AS ntail,
+                         nh + nm + nt AS n,
+                         sqrt(CAST(nh AS DOUBLE)) AS whead,
+                         sqrt(CAST(nm AS DOUBLE)) AS wmid,
+                         sqrt(CAST(nt AS DOUBLE)) AS wtail,
+                         (sqrt(CAST(nh AS DOUBLE))
+                          + sqrt(CAST(nm AS DOUBLE)))
+                          + sqrt(CAST(nt AS DOUBLE)) AS sw
+                  FROM (SELECT
+                          CAST(sum(CASE WHEN stratum = 'head' THEN 1 ELSE 0
+                                   END) AS BIGINT) AS nh,
+                          CAST(sum(CASE WHEN stratum = 'mid' THEN 1 ELSE 0
+                                   END) AS BIGINT) AS nm,
+                          CAST(sum(CASE WHEN stratum = 'tail' THEN 1 ELSE 0
+                                   END) AS BIGINT) AS nt
+                        FROM s)),
+            r AS (SELECT s.doc_id, s.stratum,
+                         CASE s.stratum
+                           WHEN 'head' THEN {rate['head']}
+                           WHEN 'mid' THEN {rate['mid']}
+                           ELSE {rate['tail']} END AS keep_rate
+                  FROM s, c)
+            SELECT doc_id, stratum, keep_rate,
+                   CAST('0x' || substr(sha256('{salt}'
+                        || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                   < CAST(floor(keep_rate * 4503599627370496.0) AS BIGINT)
+                     AS kept
+            FROM r ORDER BY doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_op_decode": q_cdc_op_decode,
@@ -1633,7 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q_q5_region_revenue,
         "asof_join_last_order": q_asof_join_last_order,
         "range_join_promo_windows": q_range_join_promo_windows,
-        "time_bucket_rollup": q_time_bucket_rollup,
+        "temperature_mix_resample": q_temperature_mix_resample,
         "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "user_sessions": q_user_sessions,
         "order_price_percentiles": q_order_price_percentiles,
@@ -1651,10 +1947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_full": q_doc_quality_full,
         "corpus_clean": q_corpus_clean,
         "gopher_repetition": q_gopher_repetition,
-        "vocab_top_tokens": q_vocab_top_tokens,
+        "line_dedup_docs": q_line_dedup_docs,
         "key_set_ops": q_key_set_ops,
-        "doc_content_sha": q_doc_content_sha,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
@@ -1891,13 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_full": _QUALITY_SQL,
         "pack_training_sequences": _PACK_ORACLE,
         "gopher_repetition": _gopher_oracle(),
-        "doc_content_sha": """
-            SELECT doc_id, sha256(text) AS content_sha
-            FROM documents ORDER BY doc_id""",
-        "embedding_cosine_topk": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-            SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
-            FROM v ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}""",
+        "dsir_importance_weights": _dsir_oracle(),
+        "ivf_pq_topk": _ivf_pq_oracle(_TOPK),
         "pq_adc_topk": _pq_oracle(_TOPK),
         "embedding_ivf_topk": _ivf_oracle(_TOPK),
         "cdc_envelope_roundtrip": """
@@ -1944,11 +2235,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN events e
               ON epoch_ms(e.ts) >= p.start_ms AND epoch_ms(e.ts) < p.end_ms
             GROUP BY promo_id ORDER BY promo_id""",
-        "time_bucket_rollup": """
-            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
-                   event_type, count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
-            FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+        "temperature_mix_resample": _temperature_mix_oracle(),
         "kmv_distinct_sketch": """
             WITH h AS (SELECT DISTINCT event_type,
                               sha256(CAST(user_id AS VARCHAR)) AS h FROM events),
@@ -1981,12 +2268,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS start_ms,
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
-        "vocab_top_tokens": r"""
-            WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-                                                           '\s+')) AS token
-                       FROM documents)
-            SELECT token, count(*) AS n FROM t GROUP BY token
-            ORDER BY n DESC, token LIMIT 100""",
+        "line_dedup_docs": _line_dedup_oracle(),
         "key_set_ops": """
             WITH e AS (SELECT DISTINCT user_id AS key FROM events),
             c AS (SELECT DISTINCT c_custkey AS key FROM customer)
@@ -2068,6 +2350,22 @@ RETIRED_QUERIES = {
     # WindowGroupLimit rank-1 machinery (same count/rank/tiebreak shape,
     # n=1 -> n=2..4) and whose dup branch adds the char-interval union.
     "top_token_coverage": q_top_token_coverage,
+    # r6e rotation: four near-twins ceded slots to line_dedup_docs,
+    # dsir_importance_weights, ivf_pq_topk, temperature_mix_resample.
+    # Machinery coverage by certified siblings: vocab_top_tokens ⊂
+    # tf_idf_top_terms + gopher_repetition (explode + map-side-combined
+    # count + deterministic rank); doc_content_sha ⊂ pii_redaction's
+    # content_sha audit column + cdc_envelope_roundtrip's roundtrip_sha
+    # (the identical sha2(text,256) projection); embedding_cosine_topk ⊂
+    # embedding_ivf_topk with nprobe=n_cells semantics + knn_join_lsh /
+    # embedding_near_dup_pairs (same cosine fold, same
+    # TakeOrderedAndProject top-k); time_bucket_rollup ⊂
+    # q1_pricing_summary (decimal groupBy aggregate) + user_sessions
+    # (epoch-millis integer time arithmetic).
+    "vocab_top_tokens": q_vocab_top_tokens,
+    "doc_content_sha": q_doc_content_sha,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "time_bucket_rollup": q_time_bucket_rollup,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -2143,6 +2441,24 @@ RETIRED_ORACLE_SQL = {
                WHERE c_custkey IN (SELECT o_custkey FROM orders))
         ORDER BY n_nationkey""",
     "top_token_coverage": _TOPTOKEN_ORACLE,
+    "vocab_top_tokens": r"""
+        WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+')) AS token
+                   FROM documents)
+        SELECT token, count(*) AS n FROM t GROUP BY token
+        ORDER BY n DESC, token LIMIT 100""",
+    "doc_content_sha": """
+        SELECT doc_id, sha256(text) AS content_sha
+        FROM documents ORDER BY doc_id""",
+    "embedding_cosine_topk": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id, {_cos_sql('v', _vec_sql(Q_VEC))} AS cos_sim
+        FROM v ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}""",
+    "time_bucket_rollup": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
 }
 
 BASELINE_ORACLE_SQL = {

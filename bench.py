@@ -70,6 +70,10 @@ R6_OPS = [
     "top_token_coverage",
     "unigram_lm_quality",
     "gopher_repetition",
+    "line_dedup_docs",
+    "dsir_importance_weights",
+    "ivf_pq_topk",
+    "temperature_mix_resample",
 ]
 
 

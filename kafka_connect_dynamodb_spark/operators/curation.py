@@ -395,3 +395,141 @@ def gopher_repetition(df: DataFrame, *, id_col: str = "doc_id",
     for fl in flags[1:]:
         rep = rep | fl
     return out.select(*cols, rep.alias("repetitive"))
+
+
+# --------------------------------------------------- line-level dedup
+
+def line_dedup(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2,
+               sep: str = "\n") -> DataFrame:
+    """RefinedWeb/CCNet-style line-level deduplication: any line whose
+    trimmed form appears in at least ``min_docs`` DISTINCT documents is
+    removed from every document, and the document is rebuilt from its
+    surviving lines in order (boilerplate headers, nav bars, and cookie
+    banners are exactly such corpus-frequent lines). Blank lines are never
+    treated as duplicates (removing them corpus-wide is a different,
+    whitespace-normalization decision).
+
+    Output: one row per input document — ``n_lines``, ``n_dup_lines``,
+    ``removed_char_frac`` (chars in removed lines / chars in all lines,
+    separators excluded; exact integers until one double division) and
+    ``text`` rebuilt from the kept lines.
+
+    Scale shape: lines explode once; corpus-wide duplicate detection runs
+    on ``xxhash64(line)`` — an 8-byte shuffle key instead of arbitrary-
+    length strings (same 2^-64 collision trade every dedup operator here
+    documents) — as distinct (hash, doc) pairs then a map-side-combined
+    count; the duplicated-hash set joins back to the line rows on the
+    hash (typically a tiny fraction of distinct lines — AQE broadcasts
+    it when it fits); reconstruction is one groupBy on the doc id with a
+    per-doc-bounded ``array_sort(collect_list)``. Every shuffle is keyed
+    by line-hash or doc id — no corpus-wide hot key.
+
+    Extends the engine beyond the reference (no corpus analytics in
+    trustpilot/kafka-connect-dynamodb — see
+    ``source/src/main/java/com/trustpilot/connector/dynamodb``)."""
+    from .dedup import fan_out
+
+    lines = (fan_out(df)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(F.col(text_col), sep, -1))
+                      .alias("_p", "_line"))
+             .withColumn("_norm", F.trim("_line"))
+             .withColumn("_blank", F.length("_norm") == 0)
+             .withColumn("_h", F.xxhash64(F.lit("line_dedup"), "_norm")))
+    pairs = (lines.filter(~F.col("_blank"))
+                  .select("_h", "id").distinct())
+    dup = (pairs.groupBy("_h").agg(F.count("*").alias("_nd"))
+                .filter(F.col("_nd") >= F.lit(min_docs))
+                .select("_h", F.lit(True).alias("_dup0")))
+    marked = (lines.join(dup, "_h", "left")
+                   .withColumn("_dup", F.coalesce("_dup0", F.lit(False))
+                                       & ~F.col("_blank")))
+    kept_struct = F.when(~F.col("_dup"),
+                         F.struct(F.col("_p"), F.col("_line")))
+    agg = marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_lines"),
+        F.sum(F.length("_line")).alias("_tot"),
+        F.sum(F.when(F.col("_dup"), F.length("_line")).otherwise(0))
+         .alias("_rm"),
+        F.array_sort(F.collect_list(kept_struct)).alias("_kept"))
+    frac = (F.col("_rm").cast("double")
+            / F.greatest(F.col("_tot"), F.lit(1)).cast("double"))
+    return agg.select(
+        F.col("id").alias(id_col), "n_lines", "n_dup_lines",
+        frac.alias("removed_char_frac"),
+        F.concat_ws(sep, F.transform("_kept", lambda s: s["_line"]))
+         .alias("text"))
+
+
+# ------------------------------------- DSIR-style importance resampling
+
+def dsir_importance(df: DataFrame, target: DataFrame, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 1024, salt: str = "dsir",
+                    log_w_threshold: float = 0.0,
+                    stats: tuple[int, int] | None = None) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    reduced to its relational core: score every raw document by the
+    log-likelihood ratio of its HASHED unigram features under the target
+    distribution vs the raw distribution,
+
+        log w(d) = sum_t tf(t,d) * [ln p_target(b(t)) - ln p_raw(b(t))]
+
+    with ``b(t)`` a portable-hash bucket in ``[0, n_buckets)`` and both
+    distributions add-one smoothed (``p_X(b) = (c_X(b)+1)/(T_X+n_buckets)``).
+    ``selected`` flags documents above ``log_w_threshold`` (resampling
+    keeps high-ratio documents — the ones that look like the target).
+
+    Scale shape: each corpus reduces to AT MOST ``n_buckets`` count rows
+    (explode -> bucket -> map-side-combined groupBy), the joined
+    log-ratio table is driver-tiny and BROADCASTS into the scoring join;
+    per-doc (id, bucket) counts are map-side combinable; the per-doc sum
+    is the engine's standard sorted ordered fold (float addition is not
+    associative — a partition-order sum would jitter in the last ulp)
+    keyed by bucket id, buffer bounded by min(doc distinct tokens,
+    n_buckets). The bucket hash is the sha256-based portable hash of
+    :mod:`..operators.sampling`, so a SQL oracle reproduces every double
+    bit-for-bit.
+
+    ``stats`` = (T_target, T_raw) token totals; computed with two count
+    jobs when not passed (the zero-repeat-jobs contract of
+    :func:`..operators.text.corpus_stats` callers)."""
+    from .text import tokens
+
+    tok = lambda d: d.select(  # noqa: E731
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    if stats is None:
+        stats = (tok(target).count(), tok(df).count())
+    t_tgt, t_raw = int(stats[0]), int(stats[1])
+
+    bucket = lambda c: F.pmod(hash_int(c, salt), F.lit(n_buckets))  # noqa: E731
+    counts = lambda d: (tok(d).select(bucket(F.col("token")).alias("b"))  # noqa: E731
+                        .groupBy("b").agg(F.count("*").alias("c")))
+    lp = lambda c, total: F.log(  # noqa: E731
+        (F.coalesce(c, F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(total + n_buckets)))
+    ratio = (counts(target).withColumnRenamed("c", "_ct")
+             .join(counts(df).withColumnRenamed("c", "_cr"), "b", "full")
+             .select("b", (lp(F.col("_ct"), t_tgt)
+                           - lp(F.col("_cr"), t_raw)).alias("_lr")))
+
+    doc_tf = (df.select(F.col(id_col).alias("id"),
+                        F.explode(tokens(F.lower(F.col(text_col))))
+                         .alias("token"))
+                .select("id", bucket(F.col("token")).alias("b"))
+                .groupBy("id", "b").agg(F.count("*").alias("tf")))
+    per_doc = (doc_tf.join(F.broadcast(ratio), "b", "left")
+               .select("id", "tf",
+                       F.struct(F.col("b"),
+                                (F.col("tf").cast("double")
+                                 * F.coalesce("_lr", F.lit(0.0))).alias("v"))
+                        .alias("s"))
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list("s")).alias("arr"),
+                    F.sum("tf").alias("n_tokens")))
+    logw = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["v"])
+    return per_doc.select(
+        F.col("id").alias(id_col), "n_tokens", logw.alias("log_weight"),
+        (logw > F.lit(log_w_threshold)).alias("selected"))

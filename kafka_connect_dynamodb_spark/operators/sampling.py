@@ -80,3 +80,61 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int, key_col: str, *,
               .orderBy(F.col("_ekey").asc(), F.col(key_col))
               .limit(k)
               .drop("_ekey"))
+
+
+def temperature_mix_rates(counts: dict[str, int], *, target_frac: float = 0.5,
+                          alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture rates over strata (the multilingual /
+    multi-source rebalance of mT5 / XLM-R: sampling mass proportional to
+    ``n_s^alpha`` flattens the head and boosts the tail). Returns per-
+    stratum Bernoulli keep-rates such that the EXPECTED kept size is
+    ``target_frac`` of the corpus (before the min(1,.) clip; clipped
+    strata keep everything).
+
+    Driver arithmetic on one tiny count dict (strata are low-cardinality
+    by definition). The weight sum folds in SORTED stratum order so the
+    float result is reproducible and a SQL oracle can replay it term for
+    term; alpha=0.5 uses IEEE-exact sqrt — any alpha works, but
+    non-half powers go through libm ``pow`` whose last ulp is not
+    portable across engines (the :func:`weighted_sample` caveat)."""
+    names = sorted(counts)
+    n_total = 0
+    for s in names:
+        n_total += int(counts[s])
+    w = {s: float(int(counts[s])) ** alpha for s in names}
+    sum_w = 0.0
+    for s in names:
+        sum_w += w[s]
+    budget = target_frac * float(n_total)
+    return {s: min(1.0, budget * (w[s] / sum_w) / float(int(counts[s])))
+            for s in names if counts[s] > 0}
+
+
+def temperature_resample(df: DataFrame, strata_col: str, key_col: str, *,
+                         target_frac: float = 0.5, alpha: float = 0.5,
+                         salt: str = "mix",
+                         counts: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic temperature resample: per-stratum keep-rates from
+    :func:`temperature_mix_rates`, keep decision by the portable integer
+    hash threshold (no floating point in the per-row decision). Emits
+    every row with its stratum's ``keep_rate`` and the ``kept`` flag so
+    the caller can audit expected-vs-actual mix before filtering.
+
+    Scale shape: ONE map-side-combined groupBy produces the per-stratum
+    counts (skipped when ``counts`` is passed — the zero-repeat-jobs
+    contract); the rates come back as a literal CASE, so the scoring pass
+    is a pure projection — no join, no shuffle, pushdown-friendly."""
+    if counts is None:
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(strata_col).count().collect()}
+    rates = temperature_mix_rates(counts, target_frac=target_frac,
+                                  alpha=alpha)
+    rate_e = F.lit(0.0)
+    thr_e = F.lit(0)
+    for s in sorted(rates):
+        rate_e = F.when(F.col(strata_col) == s,
+                        F.lit(rates[s])).otherwise(rate_e)
+        thr_e = F.when(F.col(strata_col) == s,
+                       F.lit(int(rates[s] * (1 << _FRAC_BITS)))).otherwise(thr_e)
+    return df.withColumn("keep_rate", rate_e).withColumn(
+        "kept", hash_int(F.col(key_col), salt) < thr_e)

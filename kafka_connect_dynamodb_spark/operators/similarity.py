@@ -531,3 +531,55 @@ def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int, *,
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= k)
                   .select("qid", "nid", "rk", "cos_sim"))
+
+
+def ivf_pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
+                  centroids: list[list[float]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ encoding (the FAISS ``IndexIVFPQ`` layout with
+    ``by_residual=False``): each vector reduces to its coarse cell id plus
+    ``m`` PQ codes. At rest this is THE 100 TB embedding-store shape —
+    partition the output by ``cell`` (as :func:`ivf_build_index` does for
+    raw vectors) and a query reads only its probed cells' directories,
+    each row costing ``m`` bytes instead of the full vector. One pass,
+    pure fold expressions, no UDF."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = [ivf_assign(F.slice(v, j * sub + 1, sub), codebooks[j])
+             for j in range(m)]
+    return df.select(F.col(id_col),
+                     ivf_assign(v, centroids).alias("cell"),
+                     F.array(*codes).alias("pq_code"))
+
+
+def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
+                query_vec: list[float], k: int = 10, *,
+                centroids: list[list[float]], nprobe: int = 2,
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ retrieval: prune to the query's ``nprobe`` nearest coarse
+    cells, then ADC-score ONLY the surviving rows' PQ codes — the two
+    FAISS levers composed (``IndexIVFPQ``, ``by_residual=False``; the
+    residual variant folds the cell centroid into per-cell distance
+    tables and is the next fidelity step). Probe selection is driver
+    arithmetic on the tiny centroid list; the cell filter is a partition
+    filter when ``encoded`` is at rest partitioned by ``cell``; scoring a
+    row is ``m`` lookups into broadcast literal tables + a fixed-order
+    float64 sum, so per-query cost is ~(nprobe/n_cells) x m lookups per
+    stored vector and NO full vectors are read anywhere. Exact re-rank of
+    the short list against raw vectors is the caller's second stage."""
+    qd = sorted((_py_l2(query_vec, c), i + 1)
+                for i, c in enumerate(centroids))
+    probe = [cell for _, cell in qd[:nprobe]]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cand = encoded.filter(F.col("cell").isin(*probe))
+    total = F.lit(0.0)
+    for j in range(m):
+        qj = query_vec[j * sub:(j + 1) * sub]
+        tbl = F.array(*[F.lit(float(_py_l2(qj, c))) for c in codebooks[j]])
+        total = total + F.element_at(tbl, F.element_at("pq_code", j + 1))
+    scored = cand.select(F.col(id_col), F.col("cell"),
+                         total.alias("adc_dist"))
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -199,6 +199,36 @@ QUERY_AUDIT = {
              "BroadcastHashJoin"),
         ],
         # r6c LM-quality row (operators/text.py::unigram_lm_nll)
+        # r6e rows
+        "line_dedup_docs": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("map-side combined distinct/count on the 8-byte line hash",
+             "HashAggregate"),
+            ("per-doc-bounded ordered reconstruction collect",
+             "ObjectHashAggregate"),
+        ],
+        "dsir_importance_weights": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("<=n_buckets log-ratio table broadcast into the scoring join",
+             "BroadcastHashJoin"),
+            ("map-side combined (doc, bucket) counts", "HashAggregate"),
+            ("doc-bounded ordered-fold collect", "ObjectHashAggregate"),
+        ],
+        "ivf_pq_topk": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (codes scored in place)",
+             "Join", False),
+            ("top-k without global sort", "TakeOrderedAndProject"),
+        ],
+        "temperature_mix_resample": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (rates are a literal CASE projection)",
+             "Join", False),
+            ("no aggregate in the scoring pass (counts precomputed)",
+             "HashAggregate", False),
+        ],
         "unigram_lm_quality": [
             ("no Python anywhere", "EvalPython", False),
             ("no cartesian product", "CartesianProduct", False),

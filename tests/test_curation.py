@@ -284,3 +284,121 @@ def test_gopher_repetition_no_grams_doc(spark):
     assert r.n_chars == 4 and not r.repetitive
     assert r.top2_gram is None and r.top2_frac == 0.0
     assert all(getattr(r, f"dup{n}_frac") == 0.0 for n in range(5, 11))
+
+
+# --------------------------------------------------- line-level dedup
+
+def _brute_line_dedup(corpus: dict[int, str], min_docs: int = 2):
+    """Naive python replica of curation.line_dedup."""
+    from collections import defaultdict
+    docs_per_line = defaultdict(set)
+    for did, text in corpus.items():
+        for line in text.split("\n"):
+            norm = line.strip()
+            if norm:
+                docs_per_line[norm].add(did)
+    dup = {l for l, ds in docs_per_line.items() if len(ds) >= min_docs}
+    out = {}
+    for did, text in corpus.items():
+        lines = text.split("\n")
+        rm = [l for l in lines if l.strip() in dup and l.strip()]
+        kept = [l for l in lines if not (l.strip() in dup and l.strip())]
+        tot = sum(len(l) for l in lines)
+        out[did] = dict(
+            n_lines=len(lines), n_dup_lines=len(rm),
+            removed_char_frac=sum(len(l) for l in rm) / max(tot, 1),
+            text="\n".join(kept))
+    return out
+
+
+def test_line_dedup_matches_bruteforce(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import line_dedup
+    corpus = {
+        1: "cookie banner\nreal content one\n\ncookie banner",
+        2: "cookie banner\nreal content two\nnav bar",
+        3: "nav bar\nunique line here\n  cookie banner  ",
+        4: "all unique\nnothing shared",
+        5: "cookie banner\nnav bar",              # everything removed
+        6: "",                                     # single empty line
+        7: "   \n\t\ncookie banner",               # blanks never dup-removed
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string").repartition(5)
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+    want = _brute_line_dedup(corpus)
+    assert set(got) == set(want)
+    for did, w in want.items():
+        r = got[did]
+        for k, v in w.items():
+            assert getattr(r, k) == v, (did, k, getattr(r, k), v)
+    # doc 5 loses every line; doc 7 keeps its blank lines verbatim
+    assert got[5].text == ""
+    assert got[7].text == "   \n\t"
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import line_dedup
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nd")], "doc_id long, text string")
+    # min_docs=3: only 'a' (in all three docs) is removed
+    got = {r.doc_id: r.text for r in line_dedup(df, min_docs=3).collect()}
+    assert got == {1: "b", 2: "c", 3: "d"}
+    # min_docs=4: nothing reaches the bar
+    got4 = {r.doc_id: r.n_dup_lines for r in
+            line_dedup(df, min_docs=4).collect()}
+    assert got4 == {1: 0, 2: 0, 3: 0}
+
+
+# ------------------------------------- DSIR-style importance resampling
+
+def _brute_dsir(raw: dict[int, str], target: dict[int, str],
+                n_buckets: int, salt: str = "dsir"):
+    import math
+    from collections import Counter
+    bucket = lambda t: _hash_int(t, salt) % n_buckets  # noqa: E731
+    toks = lambda s: s.lower().strip().split()         # noqa: E731
+    ct = Counter(bucket(t) for s in target.values() for t in toks(s))
+    cr = Counter(bucket(t) for s in raw.values() for t in toks(s))
+    t_tgt, t_raw = sum(ct.values()), sum(cr.values())
+    out = {}
+    for did, s in raw.items():
+        tf = Counter(bucket(t) for t in toks(s))
+        logw = 0.0
+        for b in sorted(tf):                 # the operator's sorted fold
+            lr = (math.log((ct.get(b, 0) + 1) / (t_tgt + n_buckets))
+                  - math.log((cr.get(b, 0) + 1) / (t_raw + n_buckets)))
+            logw += tf[b] * lr
+        out[did] = (sum(tf.values()), logw)
+    return out
+
+
+def test_dsir_importance_matches_bruteforce(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import dsir_importance
+    target = {100: "clean prose sentence with words",
+              101: "clean prose again with more words"}
+    raw = {1: "clean prose sentence",                    # target-like
+           2: "zxq vvv kkk zxq vvv spam spam spam",      # target-unlike
+           3: "words with clean prose and junk zxq",
+           4: "single"}
+    tdf = spark.createDataFrame(list(target.items()), "doc_id long, text string")
+    rdf = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dsir_importance(rdf, tdf, n_buckets=64,
+                           log_w_threshold=-0.5).collect()}
+    want = _brute_dsir(raw, target, 64)
+    assert set(got) == set(want)
+    for did, (n, logw) in want.items():
+        assert got[did].n_tokens == n
+        assert got[did].log_weight == pytest.approx(logw, abs=0, rel=0), did
+    # the target-like doc must outscore the spam doc
+    assert got[1].log_weight > got[2].log_weight
+    assert got[1].selected and not got[2].selected
+
+
+def test_dsir_stats_passthrough_skips_jobs(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import dsir_importance
+    tdf = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rdf = spark.createDataFrame([(2, "a c")], "doc_id long, text string")
+    auto = dsir_importance(rdf, tdf, n_buckets=16).collect()
+    manual = dsir_importance(rdf, tdf, n_buckets=16, stats=(2, 2)).collect()
+    assert auto == manual

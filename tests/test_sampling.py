@@ -3,6 +3,8 @@ per-stratum quotas, weighted inclusion proportional to weight."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kafka_connect_dynamodb_spark.operators.sampling import (
     deterministic_sample, stratified_sample, weighted_sample)
 
@@ -48,3 +50,46 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # deterministic: same call, same sample
     again = weighted_sample(df, "w", 500, "k")
     assert {r.k for r in out.collect()} == {r.k for r in again.collect()}
+
+
+def test_temperature_mix_rates_formula_and_clip():
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        temperature_mix_rates)
+    counts = {"head": 800, "mid": 150, "tail": 50}
+    rates = temperature_mix_rates(counts, target_frac=0.5, alpha=0.5)
+    # python replica, same sorted-order fold
+    import math
+    w = {s: math.sqrt(counts[s]) for s in counts}
+    sw = w["head"] + w["mid"] + w["tail"]   # sorted: head, mid, tail
+    for s in counts:
+        assert rates[s] == min(1.0, (0.5 * 1000.0) * (w[s] / sw) / counts[s])
+    # temperature flattens: tail keep-rate > head keep-rate
+    assert rates["tail"] > rates["mid"] > rates["head"]
+    # a tiny stratum clips to keep-everything
+    clipped = temperature_mix_rates({"big": 10000, "rare": 3},
+                                    target_frac=0.5, alpha=0.5)
+    assert clipped["rare"] == 1.0
+
+
+def test_temperature_resample_deterministic_and_expected_size(spark):
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        temperature_mix_rates, temperature_resample)
+    rows = [(i, "head" if i % 10 < 8 else ("mid" if i % 10 < 9 else "tail"))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", target_frac=0.4)
+    got = out.groupBy("source", "keep_rate").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("kept").cast("long")).alias("k")).collect()
+    counts = {r.source: r.n for r in got}
+    rates = temperature_mix_rates(counts, target_frac=0.4, alpha=0.5)
+    for r in got:
+        assert r.keep_rate == rates[r.source]
+        # kept count within 5 sigma of the Bernoulli expectation
+        exp, sig = r.n * rates[r.source], (r.n * rates[r.source]) ** 0.5
+        assert abs(r.k - exp) <= 5 * sig + 1, (r.source, r.k, exp)
+    # partition-independence of the decision
+    again = temperature_resample(df.repartition(17), "source", "doc_id",
+                                 target_frac=0.4)
+    assert (sorted(out.filter("kept").select("doc_id").toPandas().doc_id)
+            == sorted(again.filter("kept").select("doc_id").toPandas().doc_id))

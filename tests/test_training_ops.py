@@ -785,3 +785,42 @@ def test_bm25_tfidf_scalar_job_budget(spark):
                                       stats=stats).collect()}
     assert got == want
     assert bm.count() > 0 and ti.count() > 0
+
+
+def test_ivf_pq_topk_equals_pq_topk_on_probed_cells(spark):
+    """IVF-PQ (by_residual=False) is the composition of its two certified
+    halves: with nprobe=n_cells it must equal plain PQ/ADC exactly; with
+    nprobe<n_cells it must equal PQ/ADC restricted to the probed cells
+    (and on clustered data still retrieve the true cluster)."""
+    import random
+    rnd = random.Random(33)
+    centers = [[6.0] * 16, [-6.0] * 16, [6.0] * 8 + [-6.0] * 8,
+               [-6.0] * 8 + [6.0] * 8]
+    rows = [(i, [x + rnd.gauss(0, 0.5) for x in centers[i % 4]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_fit(df, m=4, n_codes=4, iters=3)
+    cents = similarity.kmeans_fit(df, 4, iters=4)
+    q = centers[1]
+
+    enc = similarity.ivf_pq_encode(df, books, centroids=cents)
+    assert set(enc.columns) == {"vec_id", "cell", "pq_code"}
+
+    full = similarity.ivf_pq_topk(enc, books, q, k=10, centroids=cents,
+                                  nprobe=len(cents))
+    plain = similarity.pq_topk(similarity.pq_encode(df, books), books, q, k=10)
+    assert [(r.vec_id, r.adc_dist) for r in full.collect()] == \
+           [(r.vec_id, r.adc_dist) for r in plain.collect()]
+
+    pruned = similarity.ivf_pq_topk(enc, books, q, k=10, centroids=cents,
+                                    nprobe=1)
+    ids = [r.vec_id for r in pruned.collect()]
+    assert len(ids) == 10 and all(i % 4 == 1 for i in ids)
+    # restriction equivalence: pruned == plain PQ over rows of the probed cell
+    probe_cells = {r.cell for r in pruned.collect()}
+    manual = similarity.pq_topk(
+        similarity.pq_encode(
+            df.join(enc.filter(F.col("cell").isin(probe_cells))
+                       .select("vec_id"), "vec_id"), books),
+        books, q, k=10)
+    assert [r.vec_id for r in manual.collect()] == ids
