@@ -402,3 +402,37 @@ def test_dsir_stats_passthrough_skips_jobs(spark):
     auto = dsir_importance(rdf, tdf, n_buckets=16).collect()
     manual = dsir_importance(rdf, tdf, n_buckets=16, stats=(2, 2)).collect()
     assert auto == manual
+
+
+def test_line_dedup_property_random_corpora(spark):
+    """Hypothesis-style randomized parity (fixed seeds for determinism):
+    random corpora mixing shared and unique lines, blanks, whitespace-only
+    lines and empty docs must match the naive python replica exactly,
+    independent of partitioning."""
+    import random
+    from kafka_connect_dynamodb_spark.operators.curation import line_dedup
+    shared = ["cookie banner", "nav bar", "footer (c) corp", ""]
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        corpus = {}
+        for did in range(25):
+            n = rng.randint(0, 6)
+            lines = []
+            for _ in range(n):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(shared))
+                else:
+                    lines.append(f"unique {did} {rng.randint(0, 99)}")
+                if rng.random() < 0.15:
+                    lines.append("   ")
+            corpus[did] = "\n".join(lines)
+        df = spark.createDataFrame(list(corpus.items()),
+                                   "doc_id long, text string") \
+                  .repartition(rng.randint(1, 9))
+        got = {r.doc_id: r for r in line_dedup(df).collect()}
+        want = _brute_line_dedup(corpus)
+        assert set(got) == set(want), seed
+        for did, w in want.items():
+            r = got[did]
+            for k, v in w.items():
+                assert getattr(r, k) == v, (seed, did, k, getattr(r, k), v)
