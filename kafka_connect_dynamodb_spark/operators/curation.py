@@ -428,20 +428,38 @@ def line_dedup(df: DataFrame, *, id_col: str = "doc_id",
     Extends the engine beyond the reference (no corpus analytics in
     trustpilot/kafka-connect-dynamodb — see
     ``source/src/main/java/com/trustpilot/connector/dynamodb``)."""
-    from .dedup import fan_out
+    lines = _exploded_lines(df, id_col=id_col, text_col=text_col, sep=sep)
+    dup = (_line_doc_pairs(lines)
+           .groupBy("_h").agg(F.count("*").alias("_nd"))
+           .filter(F.col("_nd") >= F.lit(min_docs))
+           .select("_h", F.lit(True).alias("_dup0")))
+    return _rebuild_without_dups(lines, dup, id_col=id_col, sep=sep)
 
-    lines = (fan_out(df)
-             .select(F.col(id_col).alias("id"),
-                     F.posexplode(F.split(F.col(text_col), sep, -1))
-                      .alias("_p", "_line"))
-             .withColumn("_norm", F.trim("_line"))
-             .withColumn("_blank", F.length("_norm") == 0)
-             .withColumn("_h", F.xxhash64(F.lit("line_dedup"), "_norm")))
-    pairs = (lines.filter(~F.col("_blank"))
-                  .select("_h", "id").distinct())
-    dup = (pairs.groupBy("_h").agg(F.count("*").alias("_nd"))
-                .filter(F.col("_nd") >= F.lit(min_docs))
-                .select("_h", F.lit(True).alias("_dup0")))
+
+def _exploded_lines(df: DataFrame, *, id_col: str, text_col: str,
+                    sep: str) -> DataFrame:
+    """(id, _p, _line, _norm, _blank, _h) line rows — the shared first stage
+    of the batch and incremental line-dedup paths."""
+    from .dedup import fan_out
+    return (fan_out(df)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(F.col(text_col), sep, -1))
+                     .alias("_p", "_line"))
+            .withColumn("_norm", F.trim("_line"))
+            .withColumn("_blank", F.length("_norm") == 0)
+            .withColumn("_h", F.xxhash64(F.lit("line_dedup"), "_norm")))
+
+
+def _line_doc_pairs(lines: DataFrame) -> DataFrame:
+    """Distinct non-blank (_h, id) pairs — the unit the corpus-frequency
+    counts aggregate over (map-side combinable on the 8-byte hash)."""
+    return lines.filter(~F.col("_blank")).select("_h", "id").distinct()
+
+
+def _rebuild_without_dups(lines: DataFrame, dup: DataFrame, *,
+                          id_col: str, sep: str) -> DataFrame:
+    """Join the duplicated-hash set (``_h``, ``_dup0``) back to the line
+    rows and rebuild each document from its surviving lines in order."""
     marked = (lines.join(dup, "_h", "left")
                    .withColumn("_dup", F.coalesce("_dup0", F.lit(False))
                                        & ~F.col("_blank")))
@@ -461,6 +479,69 @@ def line_dedup(df: DataFrame, *, id_col: str = "doc_id",
         frac.alias("removed_char_frac"),
         F.concat_ws(sep, F.transform("_kept", lambda s: s["_line"]))
          .alias("text"))
+
+
+def line_dup_index(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus line-frequency index at rest: ``(line_hash, n_docs)`` —
+    distinct-document count per non-blank trimmed line hash. One row per
+    distinct line; persist with ``.write.bucketBy(N, "line_hash")`` (or
+    sorted parquet) so per-increment probes need no shuffle on the index
+    side. The incremental counterpart of :func:`line_dedup`'s detection
+    stage — see :func:`incremental_line_dedup`."""
+    lines = _exploded_lines(df, id_col=id_col, text_col=text_col, sep=sep)
+    return (_line_doc_pairs(lines)
+            .groupBy("_h").agg(F.count("*").alias("n_docs"))
+            .select(F.col("_h").alias("line_hash"), "n_docs"))
+
+
+def incremental_line_dedup(new_docs: DataFrame, index: DataFrame, *,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_docs: int = 2, sep: str = "\n") -> DataFrame:
+    """:func:`line_dedup` for an ingest INCREMENT against a persisted
+    :func:`line_dup_index`: a line is removed when its corpus count plus
+    its increment distinct-doc count reaches ``min_docs``.
+
+    Unlike the near-dup loop's sticky-owner approximation, this is EXACT:
+    distinct-doc counts are additive across the disjoint corpus/increment
+    id sets, so the increment's output rows equal running the batch
+    operator over corpus ∪ increment restricted to the increment — pinned
+    by ``test_incremental_line_dedup_equals_batch_over_union``. (Documents
+    already ingested are not re-cleaned when a line crosses the threshold
+    later — the standard at-ingest-time contract; re-clean with a full
+    batch pass when required.)
+
+    Scale shape: increment lines explode once; distinct (hash, doc) pairs
+    LEFT-join the index on the 8-byte hash (no corpus re-scan — and with a
+    bucketed index, no index-side shuffle); everything downstream is the
+    batch operator's join-back + per-doc-bounded reconstruction."""
+    lines = _exploded_lines(new_docs, id_col=id_col, text_col=text_col,
+                            sep=sep)
+    inc = (_line_doc_pairs(lines)
+           .groupBy("_h").agg(F.count("*").alias("_ni")))
+    dup = (inc.join(index.select(F.col("line_hash").alias("_h"), "n_docs"),
+                    "_h", "left")
+              .filter(F.col("_ni") + F.coalesce("n_docs", F.lit(0))
+                      >= F.lit(min_docs))
+              .select("_h", F.lit(True).alias("_dup0")))
+    return _rebuild_without_dups(lines, dup, id_col=id_col, sep=sep)
+
+
+def line_dup_index_merge(index: DataFrame, new_docs: DataFrame, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         sep: str = "\n") -> DataFrame:
+    """Updated ``(line_hash, n_docs)`` index after ingesting ``new_docs``:
+    counts add across the disjoint id sets (full outer join on the hash),
+    so the merged index equals :func:`line_dup_index` over
+    corpus ∪ increment exactly — pinned alongside the incremental test."""
+    delta = line_dup_index(new_docs, id_col=id_col, text_col=text_col,
+                           sep=sep)
+    a = index.select("line_hash", F.col("n_docs").alias("_a"))
+    b = delta.select("line_hash", F.col("n_docs").alias("_b"))
+    return (a.join(b, "line_hash", "full")
+             .select("line_hash",
+                     (F.coalesce("_a", F.lit(0)) + F.coalesce("_b", F.lit(0)))
+                      .alias("n_docs")))
 
 
 # ------------------------------------- DSIR-style importance resampling

@@ -436,3 +436,42 @@ def test_line_dedup_property_random_corpora(spark):
             r = got[did]
             for k, v in w.items():
                 assert getattr(r, k) == v, (seed, did, k, getattr(r, k), v)
+
+
+def test_incremental_line_dedup_equals_batch_over_union(spark):
+    """The incremental loop is EXACT (counts add across disjoint id sets):
+    cleaning an increment against the corpus index == the batch operator
+    over corpus ∪ increment restricted to the increment; the merged index
+    == the index rebuilt from scratch."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        incremental_line_dedup, line_dedup, line_dup_index,
+        line_dup_index_merge)
+    corpus = {1: "cookie banner\nold content one",
+              2: "cookie banner\nold content two",
+              3: "rare line\nold content three"}
+    # increment: 10 shares 'rare line' (corpus count 1 -> crosses min_docs
+    # only WITH the index), 11+12 share a brand-new line (intra-increment
+    # dup), 13 is clean
+    increment = {10: "rare line\nnew stuff a",
+                 11: "fresh banner\nnew stuff b",
+                 12: "fresh banner\nnew stuff c",
+                 13: "all unique here"}
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    idf = spark.createDataFrame(list(increment.items()), "doc_id long, text string")
+
+    index = line_dup_index(cdf)
+    got = sorted(map(tuple, incremental_line_dedup(idf, index).collect()))
+    want = sorted(map(tuple,
+                      line_dedup(cdf.unionByName(idf))
+                      .filter(F.col("doc_id") >= 10).collect()))
+    assert got == want
+    # the cross-threshold case really exercised: 10 lost 'rare line'
+    by_id = {t[0]: t for t in got}
+    assert by_id[10][2] == 1 and "rare line" not in by_id[10][4]
+    assert by_id[11][2] == 1 and by_id[12][2] == 1      # intra-increment dup
+    assert by_id[13][2] == 0
+
+    merged = sorted(map(tuple, line_dup_index_merge(index, idf).collect()))
+    rebuilt = sorted(map(tuple,
+                         line_dup_index(cdf.unionByName(idf)).collect()))
+    assert merged == rebuilt
