@@ -536,39 +536,74 @@ def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int, *,
 def ivf_pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
                   centroids: list[list[float]],
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """IVF-PQ encoding (the FAISS ``IndexIVFPQ`` layout with
-    ``by_residual=False``): each vector reduces to its coarse cell id plus
-    ``m`` PQ codes. At rest this is THE 100 TB embedding-store shape —
-    partition the output by ``cell`` (as :func:`ivf_build_index` does for
-    raw vectors) and a query reads only its probed cells' directories,
-    each row costing ``m`` bytes instead of the full vector. One pass,
-    pure fold expressions, no UDF."""
+                  vec_col: str = "embedding",
+                  by_residual: bool = False) -> DataFrame:
+    """IVF-PQ encoding (the FAISS ``IndexIVFPQ`` layout): each vector
+    reduces to its coarse cell id plus ``m`` PQ codes. At rest this is THE
+    100 TB embedding-store shape — partition the output by ``cell`` (as
+    :func:`ivf_build_index` does for raw vectors) and a query reads only
+    its probed cells' directories, each row costing ``m`` bytes instead of
+    the full vector. One pass, pure fold expressions, no UDF.
+
+    ``by_residual=True`` is FAISS's default fidelity mode: PQ codes the
+    RESIDUAL ``v - centroid[cell]`` instead of ``v`` itself, so the
+    codebook only has to cover the (much tighter) within-cell spread. The
+    residual is one ``element_at`` of the cell-indexed centroid matrix +
+    one ``zip_with`` subtraction — the per-subspace argmin expression
+    count is identical to the plain mode. Codebooks for this mode should
+    be fit on residuals (:func:`pq_fit` over ``v - centroid[cell]``)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    codes = [ivf_assign(F.slice(v, j * sub + 1, sub), codebooks[j])
+    cell = ivf_assign(v, centroids)
+    base = df.select(F.col(id_col), cell.alias("cell"), v.alias("_v"))
+    if by_residual:
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in centroids])
+        enc_v = F.zip_with(F.col("_v"),
+                           F.element_at(cents, F.col("cell")),
+                           lambda x, c: x - c)
+    else:
+        enc_v = F.col("_v")
+    codes = [ivf_assign(F.slice(enc_v, j * sub + 1, sub), codebooks[j])
              for j in range(m)]
-    return df.select(F.col(id_col),
-                     ivf_assign(v, centroids).alias("cell"),
-                     F.array(*codes).alias("pq_code"))
+    return base.select(F.col(id_col), "cell", F.array(*codes).alias("pq_code"))
+
+
+def ivf_residuals(df: DataFrame, centroids: list[list[float]], *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """``(id, embedding = v - centroid[cell])`` — the frame to
+    :func:`pq_fit` residual codebooks on before encoding with
+    ``by_residual=True`` (FAISS trains its PQ on exactly these)."""
+    v = F.col(vec_col).cast("array<double>")
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
+    res = F.zip_with(v, F.element_at(cents, ivf_assign(v, centroids)),
+                     lambda x, c: x - c)
+    return df.select(F.col(id_col), res.alias(vec_col))
 
 
 def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
                 query_vec: list[float], k: int = 10, *,
                 centroids: list[list[float]], nprobe: int = 2,
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                by_residual: bool = False) -> DataFrame:
     """IVF-PQ retrieval: prune to the query's ``nprobe`` nearest coarse
     cells, then ADC-score ONLY the surviving rows' PQ codes — the two
-    FAISS levers composed (``IndexIVFPQ``, ``by_residual=False``; the
-    residual variant folds the cell centroid into per-cell distance
-    tables and is the next fidelity step). Probe selection is driver
+    FAISS levers composed (``IndexIVFPQ``). Probe selection is driver
     arithmetic on the tiny centroid list; the cell filter is a partition
     filter when ``encoded`` is at rest partitioned by ``cell``; scoring a
     row is ``m`` lookups into broadcast literal tables + a fixed-order
     float64 sum, so per-query cost is ~(nprobe/n_cells) x m lookups per
     stored vector and NO full vectors are read anywhere. Exact re-rank of
-    the short list against raw vectors is the caller's second stage."""
+    the short list against raw vectors is the caller's second stage.
+
+    With ``by_residual=True`` (match the encode flag) each probed cell
+    gets its OWN distance tables built from the query's residual against
+    that cell's centroid — ``nprobe x m`` tiny tables, folded into a
+    per-cell CASE; the per-row cost is unchanged (m lookups + one ordered
+    sum)."""
     qd = sorted((_py_l2(query_vec, c), i + 1)
                 for i, c in enumerate(centroids))
     probe = [cell for _, cell in qd[:nprobe]]
@@ -578,8 +613,25 @@ def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
     total = F.lit(0.0)
     for j in range(m):
         qj = query_vec[j * sub:(j + 1) * sub]
-        tbl = F.array(*[F.lit(float(_py_l2(qj, c))) for c in codebooks[j]])
-        total = total + F.element_at(tbl, F.element_at("pq_code", j + 1))
+        if by_residual:
+            lookup = None
+            for p in probe:
+                rj = [q - c for q, c in
+                      zip(qj, centroids[p - 1][j * sub:(j + 1) * sub])]
+                tbl = F.array(*[F.lit(float(_py_l2(rj, c)))
+                                for c in codebooks[j]])
+                hit = F.element_at(tbl, F.element_at("pq_code", j + 1))
+                lookup = (hit if lookup is None
+                          else F.when(F.col("cell") == p, hit)
+                                .otherwise(lookup))
+            # NOTE: chain order makes the LAST probe the when-branch and
+            # the first the fallback; values are keyed by cell equality so
+            # order does not affect results
+            total = total + lookup
+        else:
+            tbl = F.array(*[F.lit(float(_py_l2(qj, c)))
+                            for c in codebooks[j]])
+            total = total + F.element_at(tbl, F.element_at("pq_code", j + 1))
     scored = cand.select(F.col(id_col), F.col("cell"),
                          total.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -824,3 +824,85 @@ def test_ivf_pq_topk_equals_pq_topk_on_probed_cells(spark):
                        .select("vec_id"), "vec_id"), books),
         books, q, k=10)
     assert [r.vec_id for r in manual.collect()] == ids
+
+
+def test_ivf_pq_residual_matches_python_replica_and_beats_plain(spark):
+    """by_residual=True (FAISS's default IndexIVFPQ mode): codes and ADC
+    distances must equal a pure-python replica bit-for-bit (same argmin
+    ties, same fixed-order float64 sum), and on clustered data the
+    residual codebook must reconstruct strictly better than coding raw
+    vectors with the same budget (the reason FAISS defaults to it)."""
+    import random
+
+    def py_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    rnd = random.Random(7)
+    centers = [[4.0] * 8, [-4.0] * 8, [4.0] * 4 + [-4.0] * 4]
+    rows = [(i, [x + rnd.gauss(0, 0.3) for x in centers[i % 3]])
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_fit(df, 3, iters=4)
+    res_books = similarity.pq_fit(
+        similarity.ivf_residuals(df, cents), m=2, n_codes=4, iters=3)
+    q = [x + 0.1 for x in centers[0]]
+
+    enc = similarity.ivf_pq_encode(df, res_books, centroids=cents,
+                                   by_residual=True)
+    got_codes = {r.vec_id: (r.cell, list(r.pq_code)) for r in enc.collect()}
+    top = similarity.ivf_pq_topk(enc, res_books, q, k=8, centroids=cents,
+                                 nprobe=2, by_residual=True)
+    got_top = [(r.vec_id, r.adc_dist) for r in top.collect()]
+
+    # python replica (float32->float64 cast first, like the Spark plan)
+    vecs = {i: [float(np32) for np32 in map(lambda x: __import__("struct")
+                .unpack("f", __import__("struct").pack("f", x))[0], v)]
+            for i, v in rows}
+    sub = 4
+    def assign(v, cents_):
+        ds = [py_l2(v, c) for c in cents_]
+        return ds.index(min(ds)) + 1
+    py = {}
+    for i, v in vecs.items():
+        cell = assign(v, cents)
+        r = [x - c for x, c in zip(v, cents[cell - 1])]
+        codes = [assign(r[j * sub:(j + 1) * sub], res_books[j])
+                 for j in range(2)]
+        py[i] = (cell, codes)
+    assert got_codes == py
+
+    probe = sorted((py_l2(q, c), i + 1) for i, c in enumerate(cents))[:2]
+    probe = [p for _, p in probe]
+    scored = []
+    for i, (cell, codes) in py.items():
+        if cell not in probe:
+            continue
+        total = 0.0
+        for j in range(2):
+            rq = [a - b for a, b in zip(q[j * sub:(j + 1) * sub],
+                                        cents[cell - 1][j * sub:(j + 1) * sub])]
+            total = total + py_l2(rq, res_books[j][codes[j] - 1])
+        scored.append((i, total))
+    want_top = sorted(scored, key=lambda t: (t[1], t[0]))[:8]
+    assert [(i, d) for i, d in got_top] == want_top
+
+    # fidelity: residual coding reconstructs better than raw coding with
+    # the identical (m, n_codes) budget
+    raw_books = similarity.pq_fit(df, m=2, n_codes=4, iters=3)
+    def recon_err(books, residual):
+        err = 0.0
+        for i, v in vecs.items():
+            cell = assign(v, cents)
+            base = cents[cell - 1] if residual else [0.0] * 8
+            target = ([x - c for x, c in zip(v, base)])
+            code_src = py[i][1] if residual else [
+                assign(v[j * sub:(j + 1) * sub], books[j]) for j in range(2)]
+            recon = []
+            for j in range(2):
+                recon += books[j][code_src[j] - 1]
+            err += py_l2(target, recon)
+        return err
+    assert recon_err(res_books, True) < recon_err(raw_books, False)
