@@ -1708,6 +1708,92 @@ def q_temperature_mix_resample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher QUALITY rule suite (Rae et al. 2021 table A1 — word-count
+    and mean-word-length bounds, symbol/bullet/ellipsis ratios, alpha-word
+    fraction, required stop words) over the 6-token reflowed corpus, with
+    deterministic injections derived only from table columns (the
+    established precedent): docs with id % 7 == 0 get a leading bullet,
+    docs with id % 11 == 0 a trailing ellipsis — so the line-level rules
+    measure real nonzero fractions and the keep flag exercises both
+    branches (the 50-word floor splits the corpus naturally;
+    min_stop_hits relaxes 2 -> 1 for this row because the synthetic
+    vocabulary contains only 'the' of the 8 required stop words — at the
+    default the flag would be single-branch; the operator default stays
+    Gopher-faithful)."""
+    from kafka_connect_dynamodb_spark.operators.text import gopher_quality
+    docs = _t(spark, sf_dir, "documents")
+    aug = _reflow_lines()
+    aug = F.when(F.col("doc_id") % 7 == 0,
+                 F.concat(F.lit("\u2022 "), aug)).otherwise(aug)
+    aug = F.when(F.col("doc_id") % 11 == 0,
+                 F.concat(aug, F.lit(" ..."))).otherwise(aug)
+    return (gopher_quality(docs.select("doc_id", aug.alias("text")),
+                           min_stop_hits=1)
+            .orderBy("doc_id"))
+
+
+def _gopher_quality_oracle(n: int = 6) -> str:
+    """SQL mirror of q_gopher_quality: same reflow + injections, every rule
+    an exact integer count until one double division per emitted ratio —
+    bit-identical across engines (no transcendentals anywhere)."""
+    stops = "', '".join(["and", "be", "have", "of", "that", "the", "to",
+                         "with"])
+    return f"""
+            WITH toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM documents),
+            rf AS (SELECT doc_id,
+                     array_to_string(list_transform(
+                       range(0, CAST(ceil(len(tk) / {float(n)}) AS INT)),
+                       g -> array_to_string(tk[g*{n}+1:g*{n}+{n}], ' ')),
+                       chr(10)) AS text0
+                   FROM toks),
+            aug AS (SELECT doc_id,
+                      (CASE WHEN doc_id % 7 = 0
+                            THEN chr(8226) || ' ' || text0 ELSE text0 END)
+                      || (CASE WHEN doc_id % 11 = 0 THEN ' ...' ELSE '' END)
+                        AS text
+                    FROM rf),
+            w AS (SELECT doc_id, text,
+                         regexp_split_to_array(trim(text), '\\s+') AS wd,
+                         string_split(text, chr(10)) AS ls
+                  FROM aug),
+            m AS (SELECT doc_id,
+                    len(wd) AS n_words,
+                    CAST(length(array_to_string(wd, '')) AS DOUBLE)
+                      / len(wd) AS mean_word_len,
+                    (CAST(length(text) - length(replace(text, '#', ''))
+                          AS DOUBLE)
+                     + CAST(length(text) - length(replace(text, '...', ''))
+                            AS DOUBLE) / 3.0)
+                      / len(wd) AS symbol_word_ratio,
+                    CAST(len(list_filter(ls,
+                        l -> regexp_matches(ltrim(l), '^[\u2022\\-\\*]')))
+                        AS DOUBLE) / len(ls) AS bullet_line_frac,
+                    CAST(len(list_filter(ls,
+                        l -> regexp_matches(rtrim(l),
+                                            '(\\.\\.\\.|\u2026)$')))
+                        AS DOUBLE) / len(ls) AS ellipsis_line_frac,
+                    CAST(len(list_filter(wd,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(wd) AS alpha_word_frac,
+                    CAST(len(list_filter(['{stops}'],
+                        s -> list_contains(list_transform(wd,
+                                 x -> lower(x)), s))) AS BIGINT)
+                      AS n_stop_hits
+                  FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_hits >= 1) AS keep
+            FROM m ORDER BY doc_id"""
+
+
 def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
     """SQL mirror of q_line_dedup_docs: same reflow, duplicate detection on
     the trimmed line STRING (the Spark plan's xxhash64 key is internal —
@@ -1944,7 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "lang_id_docs": q_lang_id_docs,
         "pack_training_sequences": q_pack_training_sequences,
-        "doc_quality_full": q_doc_quality_full,
+        "gopher_quality": q_gopher_quality,
         "corpus_clean": q_corpus_clean,
         "gopher_repetition": q_gopher_repetition,
         "line_dedup_docs": q_line_dedup_docs,
@@ -2184,7 +2270,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b""",
         "pii_redaction": _pii_oracle(),
         "lang_id_docs": _LANG_SQL,
-        "doc_quality_full": _QUALITY_SQL,
+        "gopher_quality": _gopher_quality_oracle(),
         "pack_training_sequences": _PACK_ORACLE,
         "gopher_repetition": _gopher_oracle(),
         "dsir_importance_weights": _dsir_oracle(),
@@ -2366,6 +2452,12 @@ RETIRED_QUERIES = {
     "doc_content_sha": q_doc_content_sha,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "time_bucket_rollup": q_time_bucket_rollup,
+    # r6f: ceded its slot to gopher_quality — the named, citable rule set
+    # (Rae et al. table A1) superseding this row's generic feature
+    # composite; the quality_features machinery itself stays
+    # driver-certified INSIDE corpus_clean (which filters on
+    # quality_score), and this row keeps its full oracle here.
+    "doc_quality_full": q_doc_quality_full,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -2459,6 +2551,7 @@ RETIRED_ORACLE_SQL = {
                event_type, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+    "doc_quality_full": _QUALITY_SQL,
 }
 
 BASELINE_ORACLE_SQL = {

@@ -74,6 +74,7 @@ R6_OPS = [
     "dsir_importance_weights",
     "ivf_pq_topk",
     "temperature_mix_resample",
+    "gopher_quality",
 ]
 
 

@@ -303,3 +303,85 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     out = (scored.select(F.col("id").alias(id_col), "bm25")
                  .orderBy(F.col("bm25").desc(), F.col(id_col)))
     return out if top_k is None else out.limit(top_k)
+
+
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   max_ellipsis_line_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher QUALITY rule set (Rae et al. 2021 table A1, as reused by
+    FineWeb/Dolma/RedPajama): per document, every rule's measured value,
+    and ``keep`` = all rules pass —
+
+    * word count within [min_words, max_words];
+    * mean word length within [3, 10] chars;
+    * symbol-to-word ratio (``#`` occurrences + non-overlapping ``...``)
+      at most 0.1;
+    * at most 90% of lines starting with a bullet (``•``/``-``/``*``);
+    * at most 30% of lines ending with an ellipsis (``...``/``…``);
+    * at least 80% of words containing an alphabetic character;
+    * at least 2 of the 8 required English stop words present.
+
+    Complements :func:`..operators.curation.gopher_repetition` (the same
+    paper's REPETITION rules). One projection per document — no explode,
+    no join, no shuffle beyond the caller's: every measure is an array
+    fold over the doc's own tokens/lines, so the operator composes into
+    any scan at zero plan cost and Catalyst pushes it down to the
+    parquet read. Exact integer counts until one double division per
+    emitted ratio, so a SQL oracle reproduces every row bit-for-bit.
+
+    Extends the engine beyond the reference (no corpus analytics in
+    trustpilot/kafka-connect-dynamodb — see
+    ``source/src/main/java/com/trustpilot/connector/dynamodb``)."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    # total word chars via join-with-empty: exact, no per-word aggregate
+    word_chars = F.length(F.concat_ws("", words))
+    mean_wl = word_chars.cast("double") / n_words.cast("double")
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    # non-overlapping '...' count; the char-delta is always a multiple of
+    # 3 so the double division is exact (and mirrors the SQL oracle's)
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))\
+        .cast("double") / F.lit(3.0)
+    sym_ratio = (n_hash.cast("double") + n_ell) / n_words.cast("double")
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]")))
+    ellip = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    low_words = F.transform(words, F.lower)
+    stops = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(low_words, s)))
+
+    bullet_frac = bullet.cast("double") / n_lines.cast("double")
+    ellip_frac = ellip.cast("double") / n_lines.cast("double")
+    alpha_frac = alpha.cast("double") / n_words.cast("double")
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            & (sym_ratio <= max_symbol_word_ratio)
+            & (bullet_frac <= max_bullet_line_frac)
+            & (ellip_frac <= max_ellipsis_line_frac)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (stops >= min_stop_hits))
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stops.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"))

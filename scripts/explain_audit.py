@@ -229,6 +229,12 @@ QUERY_AUDIT = {
             ("no aggregate in the scoring pass (counts precomputed)",
              "HashAggregate", False),
         ],
+        "gopher_quality": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (pure per-row projection)", "Join", False),
+            ("no aggregate / no shuffle in the rule pass",
+             "HashAggregate", False),
+        ],
         "unigram_lm_quality": [
             ("no Python anywhere", "EvalPython", False),
             ("no cartesian product", "CartesianProduct", False),

@@ -906,3 +906,33 @@ def test_ivf_pq_residual_matches_python_replica_and_beats_plain(spark):
             err += py_l2(target, recon)
         return err
     assert recon_err(res_books, True) < recon_err(raw_books, False)
+
+
+def test_gopher_quality_rules_hand_computed(spark):
+    """Every Gopher quality rule checked against hand-computed values,
+    including both branches of each rule."""
+    good = ("the quick brown fox jumps over the lazy dog and it must be "
+            "said that every one of these words has letters to spare "
+            "with plenty more room for fifty words at least so keep "
+            "going until the counter clears the minimum bound easily "
+            "done now yes truly for sure")  # 50 words, alphabetic, stop-rich
+    rows = [(1, good),
+            (2, "• a\n• b\n• c\nd"),                  # bullet frac 0.75
+            (3, "x ...\ny ...\nz"),                   # ellipsis frac 2/3
+            (4, "# ## ### 123 456"),                  # symbols, no alpha
+            (5, "supercalifragilisticexpialidocious " * 60)]  # mean len > 10
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_quality(df).collect()}
+    assert out[1].n_words == 50 and out[1].keep
+    assert out[1].n_stop_hits >= 2 and out[1].alpha_word_frac == 1.0
+    assert out[2].bullet_line_frac == 0.75 and not out[2].keep
+    assert out[3].ellipsis_line_frac == 2 / 3
+    assert out[4].symbol_word_ratio == 6 / 5          # 6 '#' over 5 words
+    assert out[4].alpha_word_frac == 0.0
+    assert out[5].mean_word_len > 10 and not out[5].keep
+    # threshold overrides flip a branch
+    relax = {r.doc_id: r.keep for r in text.gopher_quality(
+        df, min_words=3, min_mean_word_len=0.0, max_mean_word_len=40.0,
+        min_alpha_word_frac=0.0, min_stop_hits=0, max_bullet_line_frac=1.0,
+        max_ellipsis_line_frac=1.0, max_symbol_word_ratio=10.0).collect()}
+    assert relax[2] and relax[4] and relax[5]
