@@ -252,12 +252,22 @@ class LakeTable:
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
     def _write_bucketed(self, df: DataFrame, version: int,
-                        sort_cols: list[str] | None = None) -> list[dict[str, Any]]:
+                        sort_cols: list[str] | None = None,
+                        zval_col: str | None = None,
+                        n_range_parts: int | None = None) -> list[dict[str, Any]]:
         """Write df (with _bucket col) partitioned by bucket; return file entries.
 
         repartition("_bucket") co-locates each bucket in one task so
         partitionBy emits ~one file per bucket per commit (no small-file
         explosion); AQE coalesces near-empty partitions.
+
+        With ``zval_col`` (Z-order compaction) the layout goal inverts:
+        SPLIT each bucket into ``n_range_parts``-ish files, each covering a
+        contiguous z-range, via repartitionByRange(bucket, z) + a within-
+        partition sort — every output file then spans a tight hyper-
+        rectangle of the z-columns and its manifest min/max stats prune on
+        any of them. The z column itself is dropped before writing (layout
+        metadata, not data).
 
         The staging dir carries a unique suffix: a writer that crashed
         AFTER staging but BEFORE the manifest commit leaves an orphan that
@@ -269,13 +279,20 @@ class LakeTable:
         import uuid
         staged = os.path.join(self.root, "data",
                               f"c{version:012d}-{uuid.uuid4().hex[:8]}")
-        out = df.repartition(F.col("_bucket"))
-        if sort_cols:
-            # cluster rows inside each file (compaction-time sort order):
-            # parquet row-group min/max on the sort keys become tight, so
-            # point lookups and range scans inside a bucket skip row groups
-            # — maintenance-time cost, read-time win (Iceberg sort orders)
-            out = out.sortWithinPartitions("_bucket", *sort_cols)
+        if zval_col is not None:
+            out = (df.repartitionByRange(n_range_parts or 8,
+                                         F.col("_bucket"), F.col(zval_col))
+                     .sortWithinPartitions("_bucket", zval_col)
+                     .drop(zval_col))
+        else:
+            out = df.repartition(F.col("_bucket"))
+            if sort_cols:
+                # cluster rows inside each file (compaction-time sort order):
+                # parquet row-group min/max on the sort keys become tight, so
+                # point lookups and range scans inside a bucket skip row
+                # groups — maintenance-time cost, read-time win (Iceberg
+                # sort orders)
+                out = out.sortWithinPartitions("_bucket", *sort_cols)
         (out.write.mode("errorifexists").partitionBy("_bucket").parquet(staged))
         entries = []
         for d in self.io.list_dir(staged):
@@ -927,25 +944,41 @@ class LakeTable:
 
     def compact(self, spark: SparkSession, *, drop_tombstones_below_seq: int | None = None,
                 target_buckets: list[int] | None = None,
+                zorder_cols: list[str] | None = None,
+                zorder_files_per_bucket: int = 4,
                 conflict_retries: int = 1) -> Manifest:
         """Rewrite buckets to one file each; optionally purge tombstones whose
         _seq is below a watermark (no older event can still arrive).
         Losing a commit race to a concurrent merge re-reads the new manifest
-        and recompacts (bounded by ``conflict_retries``)."""
+        and recompacts (bounded by ``conflict_retries``).
+
+        ``zorder_cols`` switches the rewrite from linear key clustering to
+        Z-ORDER layout (``lake/zorder.py``): each bucket is split into
+        ~``zorder_files_per_bucket`` files, each covering a contiguous
+        Morton-curve range of the (numeric) z-columns, so the per-file
+        min/max stats in the manifest become tight on EVERY z-column and
+        :meth:`scan` skips files for predicates on any of them — the
+        multi-column data-skipping layout (Delta OSS ZORDER BY). One extra
+        quantile job at compaction time; read paths are unchanged."""
         try:
             return self._compact_once(spark, drop_tombstones_below_seq,
-                                      target_buckets)
+                                      target_buckets, zorder_cols,
+                                      zorder_files_per_bucket)
         except CommitConflict:
             if conflict_retries <= 0:
                 raise
             return self.compact(spark,
                                 drop_tombstones_below_seq=drop_tombstones_below_seq,
                                 target_buckets=target_buckets,
+                                zorder_cols=zorder_cols,
+                                zorder_files_per_bucket=zorder_files_per_bucket,
                                 conflict_retries=conflict_retries - 1)
 
     def _compact_once(self, spark: SparkSession,
                       drop_tombstones_below_seq: int | None,
-                      target_buckets: list[int] | None) -> Manifest:
+                      target_buckets: list[int] | None,
+                      zorder_cols: list[str] | None = None,
+                      zorder_files_per_bucket: int = 4) -> Manifest:
         m = self.manifest()
         buckets = sorted({e["bucket"] for e in m.files}) if target_buckets is None else target_buckets
         bset = set(buckets)
@@ -957,10 +990,20 @@ class LakeTable:
                              (F.col("_seq") < F.lit(drop_tombstones_below_seq))))
         df = df.withColumn("_bucket", self._bucket_expr(m.key_cols, m.n_buckets))
         version = m.version + 1
-        new_entries = self._write_bucketed(df, version, sort_cols=m.key_cols)
+        if zorder_cols:
+            from .zorder import with_zvalue
+            df = with_zvalue(df, zorder_cols)
+            new_entries = self._write_bucketed(
+                df, version, sort_cols=m.key_cols, zval_col="_zval",
+                n_range_parts=max(1, len(buckets)) * zorder_files_per_bucket)
+            op = {"op": "compact", "zorder": list(zorder_cols),
+                  "files_rewritten": len(tgt_entries)}
+        else:
+            new_entries = self._write_bucketed(df, version,
+                                               sort_cols=m.key_cols)
+            op = {"op": "compact", "files_rewritten": len(tgt_entries)}
         return self._advance(m, keep_entries + new_entries, None, "compact",
-                             {"op": "compact", "files_rewritten": len(tgt_entries)},
-                             None, version)
+                             op, None, version)
 
     def compact_small_files(self, spark: SparkSession, *,
                             max_files_per_bucket: int = 4) -> Manifest | None:
