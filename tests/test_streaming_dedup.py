@@ -276,3 +276,77 @@ def test_incremental_neardup_next_increment_sees_updated_index(spark):
     got = {(r["doc_id"], r["dup_of"]) for r in pairs2.collect()}
     assert ("c00", "b04") in got
     assert all(d != "c01" for d, _ in got)
+
+
+def test_line_dedup_ingest_stream_matches_sequential_batches(spark, tmp_path):
+    """Continuous line-dedup ingestion: drain a 3-file source one file per
+    micro-batch; every batch's cleaned output must equal applying the
+    EXACT incremental operator sequentially in batch order, the final
+    index must equal a from-scratch rebuild over everything ingested, and
+    a re-drain on the same checkpoint is a full no-op (exactly-once)."""
+    import os
+    from pyspark.sql import functions as F
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        incremental_line_dedup, line_dup_index, line_dup_index_merge)
+    from kafka_connect_dynamodb_spark.streaming.linedup import LineDedupIngest
+
+    import glob, shutil
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        {1: "cookie banner\nalpha one", 2: "cookie banner\nalpha two"},
+        {3: "rare line\nbeta one", 4: "cookie banner\nbeta two"},
+        {5: "rare line\ngamma one", 6: "gamma two\nall unique"},
+    ]
+    for i, b in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(list(b.items()), "doc_id long, text string") \
+             .coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"f{i:03d}.parquet"))
+
+    ing = LineDedupIngest(spark, LakeTable(str(tmp_path / "idx")),
+                          str(tmp_path / "out"), n_buckets=4)
+    q = ing.start(str(src), str(tmp_path / "cp"))
+    q.awaitTermination()
+
+    # reconstruct the stream's batch membership from its own outputs, then
+    # replay the exact incremental operator sequentially in batch order
+    out = ing.cleaned(spark)
+    seen = {r.batch: sorted(x.doc_id for x in
+                            out.filter(F.col("batch") == r.batch).collect())
+            for r in out.select("batch").distinct().collect()}
+    all_docs = {k: v for b in batches for k, v in b.items()}
+    idx = None
+    expect = {}
+    for bid in sorted(seen):
+        docs_b = spark.createDataFrame(
+            [(d, all_docs[d]) for d in seen[bid]], "doc_id long, text string")
+        if idx is None:
+            idx = spark.createDataFrame([], "line_hash long, n_docs long")
+        for r in incremental_line_dedup(docs_b, idx).collect():
+            expect[r.doc_id] = (r.n_lines, r.n_dup_lines, r.text)
+        idx = line_dup_index_merge(idx, docs_b)
+
+    got = {r.doc_id: (r.n_lines, r.n_dup_lines, r.text)
+           for r in out.collect()}
+    assert got == expect
+    assert sorted(got) == sorted(all_docs)
+    # doc 5 must have lost 'rare line' (count crossed 2 via batch 2's doc 3)
+    assert got[5][1] == 1 and "rare line" not in got[5][2]
+
+    # final index == from-scratch rebuild over everything ingested
+    final_idx = sorted(map(tuple, ing.table.read(spark)
+                           .select("line_hash", "n_docs").collect()))
+    rebuilt = sorted(map(tuple, line_dup_index(
+        spark.createDataFrame(list(all_docs.items()),
+                              "doc_id long, text string")).collect()))
+    assert final_idx == rebuilt
+
+    # exactly-once: re-drain same checkpoint -> no new versions, no change
+    v = ing.table.current_version()
+    q2 = ing.start(str(src), str(tmp_path / "cp"))
+    q2.awaitTermination()
+    assert ing.table.current_version() == v
+    assert {r.doc_id for r in ing.cleaned(spark).collect()} == set(all_docs)
