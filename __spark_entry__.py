@@ -1721,8 +1721,12 @@ def q_gopher_quality(spark, sf_dir):
     vocabulary contains only 'the' of the 8 required stop words — at the
     default the flag would be single-branch; the operator default stays
     Gopher-faithful)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import fan_out
     from kafka_connect_dynamodb_spark.operators.text import gopher_quality
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: a small parquet scan is ONE split, which would serialize the
+    # regex-heavy projection on one core (measured 4.2 s -> sub-second at
+    # sf0.1); at real scale inputs arrive in many splits and this is a no-op
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     aug = _reflow_lines()
     aug = F.when(F.col("doc_id") % 7 == 0,
                  F.concat(F.lit("\u2022 "), aug)).otherwise(aug)
