@@ -106,3 +106,60 @@ def _image_json(row: Column, fields: tuple[str, ...]) -> Column:
     inner = [F.struct(row[f].cast("string").alias("s")).alias(f)
              for f in fields]
     return F.to_json(F.struct(*inner), {"ignoreNullFields": "true"})
+
+
+def debezium_export(feed: DataFrame, *,
+                    payload_fields: tuple[str, ...] = None,
+                    key_fields: tuple[str, ...] = KEY_FIELDS,
+                    table_name: str = "table",
+                    op_col: str = "_op", seq_col: str = "_seq",
+                    commit_col: str = "_commit",
+                    ts_ms_col: str | None = None,
+                    value_col: str = "value") -> DataFrame:
+    """The OUTBOUND direction: the lake's change feed
+    (:meth:`..lake.table.LakeTable.changes` rows — keys + payload + _op +
+    _seq + _commit) rendered as Debezium JSON envelopes, one string per
+    change, so any Debezium-speaking consumer (Kafka Connect sinks, other
+    lakehouses) can subscribe to this engine's tables. Closes the loop
+    with :func:`debezium_to_events`: export -> re-ingest reproduces the
+    table exactly (pinned by test).
+
+    Mapping: upserts carry the row in ``after`` (op ``u`` — LWW upserts
+    don't distinguish create from update); deletes carry the KEY fields in
+    ``before`` with ``after`` null (the key-only pre-image every Debezium
+    source guarantees; this engine keeps no full pre-images by design —
+    LWW needs none). ``source.sequence`` is the engine's ``_seq`` (the
+    total per-key order), ``source.pos`` the commit version. All
+    ``to_json``/struct rebuilds, JVM-side, no Python.
+
+    The change feed carries no event time, so ``ts_ms`` defaults to 0
+    (epoch) unless ``ts_ms_col`` names an emission-time column the caller
+    attached. A consumer replaying exported envelopes through a pipeline
+    with an event-time window (the pre-init-sync drop) MUST attach one —
+    epoch-0 events fall before any window and are filtered out."""
+    from kafka_connect_dynamodb_spark.functions.envelope import PAYLOAD_FIELDS
+    payload_fields = tuple(payload_fields or PAYLOAD_FIELDS)
+    op = F.col(op_col)
+    is_del = op == "d"
+    row_struct = F.struct(*[F.col(f).cast("string").alias(f)
+                            for f in payload_fields])
+    key_struct = F.struct(*([F.col(f).cast("string").alias(f)
+                             for f in key_fields]
+                            + [F.lit(None).cast("string").alias(f)
+                               for f in payload_fields
+                               if f not in key_fields]))
+    ts_ms = (F.col(ts_ms_col).cast("long") if ts_ms_col
+             else F.lit(0).cast("long"))
+    payload = F.struct(
+        F.when(is_del, key_struct).alias("before"),
+        F.when(~is_del, row_struct).alias("after"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(
+            F.lit(table_name).alias("table"),
+            F.col(seq_col).cast("string").alias("sequence"),
+            F.coalesce(F.col(commit_col).cast("long"), F.lit(0)).alias("pos"),
+        ).alias("source"),
+    )
+    return feed.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias(value_col))
