@@ -52,6 +52,25 @@ SEQ_TYPE = "decimal(38,0)"  # 26-digit DynamoDB seq-nos fit (tests use 26 digits
 _MAX_STRING_STAT = 256
 
 
+_INT_WIDEN_ORDER = ("byte", "short", "integer", "long")
+
+
+def _widened_type(old_dt, new_dt):
+    """The wider type when new_dt is a LOSSLESS widening of old_dt
+    (byte<short<int<long, float<double, {byte,short,int}<double — every
+    int32 is exact in a float64), else None. long->double is lossy and
+    excluded; decimals are out of scope (SEQ_TYPE is fixed)."""
+    a, b = old_dt.typeName(), new_dt.typeName()
+    if a == b:
+        return None
+    if a in _INT_WIDEN_ORDER and b in _INT_WIDEN_ORDER \
+            and _INT_WIDEN_ORDER.index(b) > _INT_WIDEN_ORDER.index(a):
+        return new_dt
+    if b == "double" and a in ("float", "byte", "short", "integer"):
+        return new_dt
+    return None
+
+
 def _json_stat(v):
     """Normalize a parquet footer stat to a JSON-safe, totally-ordered value;
     None = type not usable for pruning (timestamps, exotic logicals).
@@ -727,7 +746,38 @@ class LakeTable:
         old_names = [f.name for f in old_schema.fields]
         upd_fields = {f.name: f for f in upd.schema.fields}
         new_fields = [upd_fields[c] for c in upd_payload if c not in old_names]
-        evolved = T.StructType(list(old_schema.fields) + new_fields)
+        # --- type-widening evolution (Delta "type widening"): an update
+        # column arriving with a LOSSLESSLY wider type than the table's
+        # (byte<short<int<long, float<double, {byte,short,int}<double)
+        # widens the TABLE schema; old files read through Spark's parquet
+        # type promotion, exactly like additive columns null-fill. Without
+        # this the full-outer when() would coerce the merged column wider
+        # while the manifest stayed narrow — new files unreadable under the
+        # recorded schema. Narrower update columns are cast UP to the
+        # table's type instead. KEY columns must match exactly: the bucket
+        # hash is type-sensitive (hash(int 5) != hash(bigint 5)), so a
+        # widened key would silently scatter existing keys across buckets.
+        widened: dict[str, T.DataType] = {}
+        for f in old_schema.fields:
+            uf = upd_fields.get(f.name)
+            if uf is None or f.name in META_COLS:
+                continue
+            if f.name in keys:
+                if uf.dataType != f.dataType:
+                    raise ValueError(
+                        f"key column {f.name!r} type change "
+                        f"{f.dataType.simpleString()} -> "
+                        f"{uf.dataType.simpleString()} is not supported "
+                        "(bucket hashing is type-sensitive); cast updates "
+                        "to the table's key type")
+                continue
+            w = _widened_type(f.dataType, uf.dataType)
+            if w is not None:
+                widened[f.name] = w
+        evolved = T.StructType(
+            [T.StructField(f.name, widened.get(f.name, f.dataType),
+                           f.nullable) for f in old_schema.fields]
+            + new_fields)
         evolved_names = [f.name for f in evolved.fields]
 
         upd = upd.withColumn("_bucket", self._bucket_expr(keys, m.n_buckets)).persist()
@@ -754,6 +804,10 @@ class LakeTable:
             for c in data_cols:
                 if c not in upd.columns:
                     upd = upd.withColumn(c, F.lit(None).cast(evolved[c].dataType))
+                elif upd.schema[c].dataType != evolved[c].dataType:
+                    # narrower update column -> cast UP to the table type
+                    # (or to the just-widened type; both lossless)
+                    upd = upd.withColumn(c, F.col(c).cast(evolved[c].dataType))
             s = upd.select(*data_cols, "_seq", "_deleted").alias("s")
 
             joined = tgt.join(s, on=keys, how="full_outer")
@@ -797,7 +851,7 @@ class LakeTable:
                     m, keep_entries + new_entries, batch_id, source,
                     {"op": "merge", "rows_in": n_upd, "buckets_touched": len(touched),
                      "files_rewritten": len(tgt_entries), "files_written": len(new_entries)},
-                    evolved if new_fields else None, version,
+                    evolved if (new_fields or widened) else None, version,
                     change_files=change_entry)
             except CommitConflict:
                 if staged_rel is not None:

@@ -229,3 +229,56 @@ def test_crashed_staging_does_not_block_redelivery(spark, tmp_path):
     assert removed >= 1                      # the junk file is reclaimed
     assert not os.path.exists(os.path.join(orphan, "_bucket=0",
                                            "part-junk.parquet"))
+
+
+def test_merge_type_widening_evolution(spark, tmp_path):
+    """A batch arriving with a losslessly wider column type (int -> long,
+    float -> double) widens the TABLE schema: the manifest records the
+    wide type, old narrow files read through parquet type promotion, LWW
+    winners stay exact, and a later narrow batch casts UP. Key-column type
+    changes are rejected outright (bucket hashing is type-sensitive)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    table = LakeTable(str(tmp_path / "wtbl"))
+    base = spark.createDataFrame(
+        [(k, 10 + k, float(k)) for k in range(40)],
+        "pk string, size int, score float")
+    table.create(spark, base, key_cols=["pk"], n_buckets=4)
+
+    # wide batch: size as LONG (beyond int range), score as DOUBLE
+    upd = spark.createDataFrame(
+        [("3", 5_000_000_000, 0.5, "u", 10),
+         ("7", None, None, "d", 10)],
+        "pk string, size long, score double, _op string, _seq long")
+    table.merge(spark, upd, batch_id=1, source="w")
+
+    m = table.manifest()
+    got_types = {f.name: f.dataType for f in m.schema().fields}
+    assert got_types["size"] == T.LongType()
+    assert got_types["score"] == T.DoubleType()
+
+    rows = {r.pk: (r.size, r.score) for r in table.read(spark).collect()}
+    assert rows["3"] == (5_000_000_000, 0.5)         # winner, wide values
+    assert rows["5"] == (15, 5.0)                    # old narrow file, promoted
+    assert "7" not in rows                           # tombstone applied
+    assert len(rows) == 39
+
+    # a later NARROW batch casts up into the widened schema
+    upd2 = spark.createDataFrame([("5", 99, "u", 20)],
+                                 "pk string, size int, _op string, _seq long")
+    table.merge(spark, upd2, batch_id=2, source="w")
+    rows2 = {r.pk: (r.size, r.score) for r in table.read(spark).collect()}
+    assert rows2["5"] == (99, None)                  # missing col -> null wins
+    assert rows2["3"] == (5_000_000_000, 0.5)
+
+    # stats pruning still works across the widened column's old+new files
+    may = table.pruned_entries([("size", ">", 4_000_000_000)])
+    assert 0 < len(may) < len(table.manifest().files)
+
+    # key type change is an explicit error, not silent bucket scatter
+    bad = spark.createDataFrame([(3, 1, "u", 30)],
+                                "pk int, size int, _op string, _seq long")
+    with pytest.raises(Exception, match="key column"):
+        table.merge(spark, bad, batch_id=3, source="w")
