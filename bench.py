@@ -24,6 +24,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # CDC replay scale (flagship): ~1M events over ~100k keys at sf0.1
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
 REPLAY_KEYS = int(os.environ.get("BENCH_REPLAY_KEYS", "100000"))
+# The replay is the one SUSTAINED all-core job here; on the shared-credit
+# host a single shot can read 3-8x over capability while short queries sit
+# at floor (measured r6 — see ROUND_NOTES). Min-of-k is the repo's standard
+# noise-robust capability estimator (BENCH/BASELINE.md); rep 1 stays in the
+# headline total for cross-round comparability, the min feeds events/s.
+REPLAY_REPS = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
 
 # A/B attribution toggles (VERDICT r3 next #2): rerun with BENCH_FILE_STATS=0
 # or BENCH_CHANGE_FEED=1 to isolate commit-path feature cost on the replay.
@@ -139,21 +145,24 @@ def main() -> None:
         warm.init_sync(base.limit(20000))
         warm.sync_batch(spark.read.parquet(log_dir).limit(100000), 0)
 
-        table = LakeTable(os.path.join(work, "tbl"),
-                          change_feed=CHANGE_FEED, file_stats=FILE_STATS)
-        pipe = CdcPipeline(spark, table, n_buckets=64,
-                           clock=lambda: DEFAULT_BASE_TS.timestamp())
-        t0 = time.perf_counter()
-        pipe.init_sync(base)
-        t_snapshot = time.perf_counter() - t0
-
         events = spark.read.parquet(log_dir)
-        t0 = time.perf_counter()
-        pipe.sync_batch(events, 0)
-        t_apply = time.perf_counter() - t0
+        applies = []
+        t_snapshot = None
+        for rep in range(max(1, REPLAY_REPS)):
+            table = LakeTable(os.path.join(work, f"tbl{rep}"),
+                              change_feed=CHANGE_FEED, file_stats=FILE_STATS)
+            pipe = CdcPipeline(spark, table, n_buckets=64,
+                               clock=lambda: DEFAULT_BASE_TS.timestamp())
+            t0 = time.perf_counter()
+            pipe.init_sync(base)
+            if t_snapshot is None:
+                t_snapshot = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pipe.sync_batch(events, 0)
+            applies.append(time.perf_counter() - t0)
 
         timings["cdc_init_sync"] = round(t_snapshot, 3)
-        timings["cdc_replay"] = round(t_apply, 3)
+        timings["cdc_replay"] = round(applies[0], 3)
         final_rows = table.read(spark).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -170,7 +179,9 @@ def main() -> None:
         "r6_ops": r6_timings,
         "r6_ops_total_sec": round(sum(r6_timings.values()), 3),
         "cdc_replay_events": REPLAY_EVENTS,
-        "cdc_replay_events_per_sec": round(REPLAY_EVENTS / timings["cdc_replay"], 1),
+        "cdc_replay_reps": [round(t, 3) for t in applies],
+        "cdc_replay_min_sec": round(min(applies), 3),
+        "cdc_replay_events_per_sec": round(REPLAY_EVENTS / min(applies), 1),
         "cdc_final_rows": final_rows,
         "cpus": CPUS,
         "file_stats": FILE_STATS,
