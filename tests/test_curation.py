@@ -475,3 +475,31 @@ def test_incremental_line_dedup_equals_batch_over_union(spark):
     rebuilt = sorted(map(tuple,
                          line_dup_index(cdf.unionByName(idf)).collect()))
     assert merged == rebuilt
+
+
+def test_line_dedup_and_gopher_unicode_chars_not_bytes(spark):
+    """Multi-byte text: every char metric must count CHARACTERS (Spark
+    length() semantics, matching DuckDB length() on VARCHAR), so CJK and
+    emoji docs get the same treatment either engine computes."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        gopher_repetition, line_dedup)
+    corpus = {1: "日本語のテキスト\nshared line\nこんにちは 世界",
+              2: "shared line\nемоджи 🦀 строка",
+              3: "ünïcödé wörds häre\nshared line"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+    want = _brute_line_dedup(corpus)
+    for did, w in want.items():
+        for k, v in w.items():
+            assert getattr(got[did], k) == v, (did, k)
+    assert got[1].removed_char_frac == len("shared line") / (
+        len("日本語のテキスト") + len("shared line") + len("こんにちは 世界"))
+
+    rep = {r.doc_id: r for r in gopher_repetition(
+        spark.createDataFrame([(1, "こんにちは 世界 こんにちは 世界 です ね")],
+                              "doc_id long, text string")).collect()}
+    # 17 token chars + 5 joiner spaces = 22 chars; top 2-gram
+    # 'こんにちは 世界' (8 chars) occurs twice -> 16/22
+    assert rep[1].n_chars == 22
+    assert rep[1].top2_gram == "こんにちは 世界"
+    assert rep[1].top2_frac == 16 / 22
