@@ -93,3 +93,36 @@ def test_temperature_resample_deterministic_and_expected_size(spark):
                                  target_frac=0.4)
     assert (sorted(out.filter("kept").select("doc_id").toPandas().doc_id)
             == sorted(again.filter("kept").select("doc_id").toPandas().doc_id))
+
+
+def test_temperature_mix_rates_invariants():
+    """Pure-formula invariants: unclipped expected size hits the target
+    exactly; alpha=1 degenerates to a uniform rate (proportional sampling
+    changes nothing); alpha=0 gives equal mass per stratum; smaller alpha
+    always boosts the tail at the head's expense."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        temperature_mix_rates)
+    counts = {"head": 5000, "mid": 900, "tail": 100}
+    n = sum(counts.values())
+    for alpha in (0.0, 0.25, 0.5, 0.75, 1.0):
+        rates = temperature_mix_rates(counts, target_frac=0.3, alpha=alpha)
+        if all(r < 1.0 for r in rates.values()):
+            expected = sum(counts[s] * rates[s] for s in counts)
+            assert abs(expected - 0.3 * n) < 1e-6, alpha
+    uni = temperature_mix_rates(counts, target_frac=0.3, alpha=1.0)
+    assert all(abs(r - 0.3) < 1e-12 for r in uni.values())
+    flat = temperature_mix_rates(counts, target_frac=0.3, alpha=0.0)
+    mass = {s: counts[s] * flat[s] for s in counts}
+    # equal mass per stratum (0.3 * 6000 / 3 = 600) for strata big enough
+    # to supply it; the 100-doc tail clips to keep-everything
+    assert abs(mass["head"] - 600.0) < 1e-6
+    assert abs(mass["mid"] - 600.0) < 1e-6
+    assert flat["tail"] == 1.0 and mass["tail"] == 100.0
+    # monotonicity on an unclipped configuration: lower alpha boosts the
+    # tail at the head's expense
+    c2 = {"head": 5000, "mid": 900, "tail": 400}
+    r1 = temperature_mix_rates(c2, target_frac=0.2, alpha=1.0)
+    r_half = temperature_mix_rates(c2, target_frac=0.2, alpha=0.5)
+    r_quart = temperature_mix_rates(c2, target_frac=0.2, alpha=0.25)
+    assert r_quart["tail"] > r_half["tail"] > r1["tail"]
+    assert r_quart["head"] < r_half["head"] < r1["head"]
