@@ -806,7 +806,20 @@ class LakeTable:
                     upd = upd.withColumn(c, F.lit(None).cast(evolved[c].dataType))
                 elif upd.schema[c].dataType != evolved[c].dataType:
                     # narrower update column -> cast UP to the table type
-                    # (or to the just-widened type; both lossless)
+                    # (or to the just-widened type) — but ONLY when the
+                    # table's type is a recognized LOSSLESS widening of the
+                    # batch's (the inverse of the evolution rule above). A
+                    # blind cast here would silently truncate (double sent
+                    # for a long column) or null out (string for numeric)
+                    # under non-ANSI Spark — silent data loss (ADVICE r6).
+                    if _widened_type(upd.schema[c].dataType,
+                                     evolved[c].dataType) != evolved[c].dataType:
+                        raise ValueError(
+                            f"column {c!r}: update type "
+                            f"{upd.schema[c].dataType.simpleString()} is not a "
+                            f"lossless narrowing of the table type "
+                            f"{evolved[c].dataType.simpleString()}; cast the "
+                            "batch explicitly if the loss is intended")
                     upd = upd.withColumn(c, F.col(c).cast(evolved[c].dataType))
             s = upd.select(*data_cols, "_seq", "_deleted").alias("s")
 

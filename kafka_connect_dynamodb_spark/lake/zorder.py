@@ -55,8 +55,18 @@ def rank_expr(col: Column, boundaries: list[float]) -> Column:
 
 def zvalue_expr(ranks: list[Column], *, bits: int = 8) -> Column:
     """Morton interleave of the rank bits: column i contributes its bit b
-    at position ``b * n_cols + i``. Pure shift/mask arithmetic, codegen'd."""
+    at position ``b * n_cols + i``. Pure shift/mask arithmetic, codegen'd.
+
+    ``bits * len(ranks)`` must stay <= 63: bit 63 of a long is the sign
+    bit, and a rank bit landing there would sort high-rank rows NEGATIVE —
+    silently inverting the z-range partitioning (ADVICE r6). Callers that
+    want many columns should reduce ``bits`` (``with_zvalue`` does this
+    automatically)."""
     m = len(ranks)
+    if bits * m > 63:
+        raise ValueError(
+            f"bits*n_cols = {bits}*{m} = {bits * m} > 63 would place rank "
+            "bits on the long sign bit; use bits <= 63 // n_cols")
     z = F.lit(0).cast("long")
     for i, r in enumerate(ranks):
         rl = r.cast("long")
@@ -70,7 +80,10 @@ def with_zvalue(df: DataFrame, cols: list[str], *, bits: int = 8,
                 boundaries: dict[str, list[float]] | None = None,
                 out_col: str = "_zval") -> DataFrame:
     """``df`` plus the interleaved z-value column (boundaries computed with
-    one job when not passed)."""
+    one job when not passed). ``bits`` is auto-reduced to ``63 // n_cols``
+    BEFORE the boundaries are computed, so rank resolution and interleave
+    width always agree and never touch the long sign bit."""
+    bits = min(bits, 63 // max(len(cols), 1))
     if boundaries is None:
         boundaries = zorder_boundaries(df, cols, bits=bits)
     ranks = [rank_expr(F.col(c), boundaries[c]) for c in cols]

@@ -441,9 +441,14 @@ def _exploded_lines(df: DataFrame, *, id_col: str, text_col: str,
     """(id, _p, _line, _norm, _blank, _h) line rows — the shared first stage
     of the batch and incremental line-dedup paths."""
     from .dedup import fan_out
+    # F.split takes a REGEX but the rebuild (concat_ws) uses sep as a
+    # LITERAL — quote it (\Q..\E, the Java Pattern.quote form) so a
+    # regex-special separator ('|', '.') splits literally instead of
+    # exploding per-character and rebuilding garbled text (ADVICE r6).
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return (fan_out(df)
             .select(F.col(id_col).alias("id"),
-                    F.posexplode(F.split(F.col(text_col), sep, -1))
+                    F.posexplode(F.split(F.col(text_col), sep_rx, -1))
                      .alias("_p", "_line"))
             .withColumn("_norm", F.trim("_line"))
             .withColumn("_blank", F.length("_norm") == 0)

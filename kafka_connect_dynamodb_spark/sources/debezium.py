@@ -17,9 +17,13 @@ Mapping (Debezium semantics -> reference semantics):
   rows), ``u`` -> MODIFY, ``d`` -> REMOVE;
 * ``after`` carries the row image (absent on deletes -> keys only, exactly
   the reference's REMOVE shape, DynamoDBSourceTask.java:338-343);
-* ordering: ``source.sequence`` if present else ``ts_ms * 10^6 +
+* ordering: ``source.sequence`` if present else ``ts_ms * 10^19 +
   source.pos`` fallback — any monotone-per-key decimal works, the LWW
-  reduce only compares;
+  reduce only compares. The 10^19 headroom exceeds any int64 ``pos``
+  (binlog byte offsets / WAL LSNs routinely pass 10^6, which would let an
+  older event with a large pos outrank a newer one — ADVICE r6); within
+  one ``ts_ms`` the pos order decides, which is correct per key because a
+  single source's log positions are monotone;
 * shard analog: ``source.table`` + partition id.
 
 All JVM-side (`from_json` + struct rebuild through the same
@@ -73,11 +77,13 @@ def debezium_to_events(df: DataFrame, *, value_col: str = "value",
     p = F.from_json(F.col(value_col), debezium_schema(payload_fields))["payload"]
     d = df.withColumn("_p", p)
     img = F.coalesce(F.col("_p.after"), F.col("_p.before"))
-    key_src = F.struct(*[img[f].alias(f) for f in key_fields]).alias("_k")
     op = F.col("_p.op")
+    # pos headroom must cover the full int64 range: 10^19 > 2^63. The
+    # product stays well inside decimal(38,0) (ts_ms ~ 10^13 -> ~10^32).
+    pos_headroom = F.lit("10000000000000000000").cast("decimal(20,0)")
     seq = F.coalesce(
         F.col("_p.source.sequence").cast("decimal(38,0)"),
-        (F.col("_p.ts_ms").cast("decimal(38,0)") * 1_000_000
+        (F.col("_p.ts_ms").cast("decimal(38,0)") * pos_headroom
          + F.coalesce(F.col("_p.source.pos"), F.lit(0))))
     out = d.select(
         F.concat(F.coalesce(F.col("_p.source.table"), F.lit("t")),
@@ -89,7 +95,13 @@ def debezium_to_events(df: DataFrame, *, value_col: str = "value",
           .when(op == "u", "MODIFY")
           .when(op == "d", "REMOVE")).alias("event_name"),
         F.timestamp_millis(F.col("_p.ts_ms")).alias("ts"),
-        F.when(key_src.isNotNull(), _keys_json(img, key_fields)).alias("keys"),
+        # guard on the IMAGE, not a struct-of-fields (F.struct(...) never
+        # evaluates to NULL even when every field is — ADVICE r6): a row
+        # whose payload failed from_json, or a truncate/message event
+        # ('t'/'m') with no image, emits NULL keys + NULL event_name and
+        # is droppable by the parse-error filter instead of masquerading
+        # as a keyed '{}' event.
+        F.when(img.isNotNull(), _keys_json(img, key_fields)).alias("keys"),
         F.when(op != "d", _image_json(F.col("_p.after"), payload_fields))
          .alias("new_image"),
     )

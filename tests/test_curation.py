@@ -503,3 +503,17 @@ def test_line_dedup_and_gopher_unicode_chars_not_bytes(spark):
     assert rep[1].n_chars == 22
     assert rep[1].top2_gram == "こんにちは 世界"
     assert rep[1].top2_frac == 16 / 22
+
+
+def test_line_dedup_regex_special_separator(spark):
+    """ADVICE r6: ``sep`` is used as a regex by the split but a literal by
+    the rebuild — a regex-special separator ('|') must split literally,
+    not per-character."""
+    from kafka_connect_dynamodb_spark.operators.curation import line_dedup
+    df = spark.createDataFrame(
+        [(1, "shared line|unique one|tail.a"),
+         (2, "shared line|unique two|tail.b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df, sep="|").collect()}
+    assert got[1].text == "unique one|tail.a"
+    assert got[2].text == "unique two|tail.b"
+    assert got[1].n_lines == 3 and got[1].n_dup_lines == 1

@@ -132,3 +132,54 @@ def test_debezium_export_roundtrip_reproduces_table(spark, tmp_path):
     base_keys = {(r["repo"], r["path"]) for r in base.collect()}
     assert base_keys - set(sha(a)), "generator produced no deletes"
     assert set(sha(b)) == set(sha(a))
+
+
+def test_debezium_pos_fallback_gives_pos_full_headroom(spark):
+    """ADVICE r6: with ``source.sequence`` absent, the ordering fallback is
+    ``ts_ms * 10^19 + pos``. WAL LSNs / binlog byte offsets are arbitrary
+    int64s — an OLDER event carrying a near-max pos must still lose to a
+    newer event with a tiny pos."""
+    def env(ts_ms, pos, content):
+        return json.dumps({"payload": {
+            "after": {"repo": "r", "path": "p", "commit": "c",
+                      "lang": "py", "content": content},
+            "op": "u", "ts_ms": ts_ms,
+            "source": {"table": "t", "sequence": None, "pos": pos}}})
+    dbz = spark.createDataFrame(
+        [(env(1000, 9_000_000_000_000_000_000, "stale"),),
+         (env(2000, 5, "fresh"),)], "value string")
+    rows = {r.new_image: int(r.seq_no) for r in
+            debezium_to_events(dbz).collect()}
+    stale = next(v for k, v in rows.items() if "stale" in k)
+    fresh = next(v for k, v in rows.items() if "fresh" in k)
+    assert fresh > stale
+    # same ts_ms -> pos decides (monotone within one source log)
+    dbz2 = spark.createDataFrame(
+        [(env(1000, 10, "a"),), (env(1000, 20, "b"),)], "value string")
+    rows2 = {r.new_image: int(r.seq_no) for r in
+             debezium_to_events(dbz2).collect()}
+    assert (next(v for k, v in rows2.items() if '"b"' in k or 'b' in k)
+            > min(rows2.values()))
+
+
+def test_debezium_imageless_rows_are_droppable(spark):
+    """ADVICE r6: rows whose payload failed from_json, and truncate/message
+    ops ('t'/'m') with no image, must emit NULL keys + NULL event_name —
+    identifiable and droppable — not a keyed '{}' event."""
+    good = json.dumps({"payload": {
+        "after": {"repo": "r", "path": "p", "commit": "c",
+                  "lang": "py", "content": "x"},
+        "op": "c", "ts_ms": 1, "source": {"table": "t", "sequence": "1",
+                                          "pos": 0}}})
+    trunc = json.dumps({"payload": {
+        "before": None, "after": None, "op": "t", "ts_ms": 2,
+        "source": {"table": "t", "sequence": "2", "pos": 0}}})
+    dbz = spark.createDataFrame(
+        [(good,), (trunc,), ("{not json",)], "value string")
+    out = debezium_to_events(dbz).collect()
+    bad = [r for r in out if r.keys is None]
+    assert len(bad) == 2
+    assert all(r.event_name is None for r in bad)
+    kept = [r for r in out if r.keys is not None]
+    assert len(kept) == 1 and kept[0].event_name == "INSERT"
+    assert '"{}"' not in json.dumps([r.keys for r in out])

@@ -282,3 +282,30 @@ def test_merge_type_widening_evolution(spark, tmp_path):
                                 "pk int, size int, _op string, _seq long")
     with pytest.raises(Exception, match="key column"):
         table.merge(spark, bad, batch_id=3, source="w")
+
+
+def test_merge_rejects_lossy_type_mismatch(spark, tmp_path):
+    """ADVICE r6: a batch column whose type is neither the table's type,
+    a lossless widening of it (schema evolution), nor a lossless
+    narrowing (cast up) must FAIL the merge loudly — a silent cast would
+    truncate (double -> long) or null out (string -> long)."""
+    import pytest
+
+    table = LakeTable(str(tmp_path / "ltbl"))
+    base = spark.createDataFrame([(str(k), 10 + k) for k in range(20)],
+                                 "pk string, size long")
+    table.create(spark, base, key_cols=["pk"], n_buckets=4)
+
+    lossy = spark.createDataFrame([("3", 1.5, "u", 10)],
+                                  "pk string, size double, _op string, _seq long")
+    with pytest.raises(ValueError, match="lossless"):
+        table.merge(spark, lossy, batch_id=1, source="w")
+
+    stringy = spark.createDataFrame([("3", "oops", "u", 11)],
+                                    "pk string, size string, _op string, _seq long")
+    with pytest.raises(ValueError, match="lossless"):
+        table.merge(spark, stringy, batch_id=2, source="w")
+
+    # table untouched by the rejected batches (only create's commit exists)
+    assert table.manifest().version == 1
+    assert {r.pk: r.size for r in table.read(spark).collect()}["3"] == 13

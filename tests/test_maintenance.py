@@ -376,3 +376,24 @@ def test_zorder_compaction_prunes_on_every_z_column(spark, tmp_path):
     assert got == {i for i in range(n) if (i * 104729) % 89 == 13}
     after = set(map(tuple, table.read(spark).collect()))
     assert after == before
+
+
+def test_zvalue_sign_bit_guard(spark):
+    """ADVICE r6: bits*n_cols > 63 would put rank bits on the long sign
+    bit (high-rank rows sort negative). zvalue_expr refuses; with_zvalue
+    auto-reduces bits so rank resolution and interleave width agree."""
+    import pytest
+    from pyspark.sql import functions as F
+    from kafka_connect_dynamodb_spark.lake.zorder import (
+        rank_expr, with_zvalue, zvalue_expr)
+
+    ranks = [rank_expr(F.col(f"c{i}"), [0.5]) for i in range(8)]
+    with pytest.raises(ValueError, match="sign bit"):
+        zvalue_expr(ranks, bits=8)
+
+    cols = [f"c{i}" for i in range(8)]
+    df = spark.createDataFrame(
+        [tuple(float(i + j) for j in range(8)) for i in range(16)],
+        ", ".join(f"{c} double" for c in cols))
+    out = with_zvalue(df, cols, bits=8)         # auto-reduced to 63//8 = 7
+    assert out.filter(F.col("_zval") < 0).count() == 0
