@@ -163,11 +163,30 @@ class CdcPipeline:
                                         n_buckets=self.n_buckets,
                                         table=self.table_name)
             info.exclusive_start_key = json.dumps(
-                {"next_chunk": 0, "n_chunks": n_chunks, "n_files": len(files)})
+                {"next_chunk": 0, "n_chunks": n_chunks, "n_files": len(files),
+                 "rows_so_far": 0})
             self.save_state(info)
 
+        # --- final count WITHOUT a table-wide scan (VERDICT r6 next #2):
+        # each chunk's merge already counts its input rows (the bucket-prune
+        # partial agg in LakeTable.merge), so the snapshot row count — the
+        # same quantity the one-shot path Observes — is the running sum of
+        # per-chunk rows_in, persisted with the progress key. A crash
+        # between a chunk's commit and its save_state loses at most the
+        # LAST few chunks' counts; those are the newest manifest lineage
+        # entries (never evicted by the 50-entry cap), so heal from there.
         done = 0
         next_chunk = self.table.last_committed("init_sync") + 1
+        key = json.loads(info.exclusive_start_key)
+        rows_so_far = int(key.get("rows_so_far", 0))
+        recorded_next = int(key.get("next_chunk", 0))
+        if recorded_next < next_chunk:
+            by_batch = {e.get("batch_id"): e
+                        for e in self.table.manifest().lineage
+                        if e.get("source") == "init_sync"
+                        and e.get("op") == "merge"}
+            for i in range(recorded_next, next_chunk):
+                rows_so_far += int(by_batch[i].get("rows_in", 0))
         from pyspark.sql import functions as F
         for i in range(next_chunk, n_chunks):
             if max_chunks_this_run is not None and done >= max_chunks_this_run:
@@ -175,16 +194,16 @@ class CdcPipeline:
             chunk_df = (self.spark.read.parquet(*chunks[i])
                         .withColumn("_op", F.lit("r"))
                         .withColumn("_seq", F.lit(0).cast("decimal(38,0)")))
-            self.table.merge(self.spark, chunk_df, batch_id=i,
-                             source="init_sync")
+            res = self.table.merge(self.spark, chunk_df, batch_id=i,
+                                   source="init_sync")
+            rows_so_far += int(res.get("rows_in") or 0)
             info.exclusive_start_key = json.dumps(
                 {"next_chunk": i + 1, "n_chunks": n_chunks,
-                 "n_files": len(files)})
+                 "n_files": len(files), "rows_so_far": rows_so_far})
             self.save_state(info)
             done += 1
 
-        count = self.table.read(self.spark).count()
-        info.end_init_sync(count, int(self.clock() * 1000))
+        info.end_init_sync(rows_so_far, int(self.clock() * 1000))
         self.save_state(info)
         return info
 
