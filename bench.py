@@ -29,7 +29,21 @@ REPLAY_KEYS = int(os.environ.get("BENCH_REPLAY_KEYS", "100000"))
 # at floor (measured r6 — see ROUND_NOTES). Min-of-k is the repo's standard
 # noise-robust capability estimator (BENCH/BASELINE.md); rep 1 stays in the
 # headline total for cross-round comparability, the min feeds events/s.
-REPLAY_REPS = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
+REPLAY_REPS = int(os.environ.get("BENCH_REPLAY_REPS", "3"))
+
+# Host-state self-adjudication (VERDICT r6 next #1): r6's 3x phantom
+# regression took a judge-side code A/B to dismiss because the bench JSON
+# carried no host annotation. Before and after the run we now record
+# (a) a burst probe — 3 warm reps of a mid-weight query, min rep; on this
+#     box <= ~2.6 s means quiet, >= 3.5 s badly contended (watcher band);
+# (b) a sustained probe — the same CPU kernel at 1 unit and 8 units;
+#     sustained_ratio = per-unit long / short. ~1.0 on an unthrottled
+#     host; the r6 throttle window read bursts near floor while SUSTAINED
+#     jobs degraded 3-8x, which is exactly what this ratio exposes.
+HOST_PROBE = os.environ.get("BENCH_HOST_PROBE", "1") != "0"
+PROBE_ROWS = int(os.environ.get("BENCH_PROBE_ROWS", "50000000"))
+PROBE_LONG_MULT = 8
+PROBE_QUIET_REF_S = 2.62      # watcher quiet threshold for the burst probe
 
 # A/B attribution toggles (VERDICT r3 next #2): rerun with BENCH_FILE_STATS=0
 # or BENCH_CHANGE_FEED=1 to isolate commit-path feature cost on the replay.
@@ -88,6 +102,40 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_probe(spark, probe_fn) -> dict:
+    """One burst + one sustained reading of the host's current state."""
+    from pyspark.sql import functions as F
+    bursts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(probe_fn(spark, SF_DIR))
+        bursts.append(round(time.perf_counter() - t0, 2))
+
+    def kernel(mult: int) -> float:
+        t0 = time.perf_counter()
+        (spark.range(PROBE_ROWS * mult, numPartitions=CPUS)
+              .select(F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256))))
+              .collect())
+        return time.perf_counter() - t0
+    kernel_warm = PROBE_ROWS // 10
+    (spark.range(kernel_warm, numPartitions=CPUS)
+          .select(F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256))))
+          .collect())
+    # min-of-2 on the unit run: at ~2-3 s the fixed scheduling overhead is
+    # a visible fraction of one rep, and an inflated unit reading would
+    # understate the ratio exactly when it matters
+    short = min(kernel(1), kernel(1))
+    long = kernel(PROBE_LONG_MULT)
+    return {
+        "burst_reps_s": bursts,
+        "burst_min_s": min(bursts),
+        "quiet_ref_s": PROBE_QUIET_REF_S,
+        "sustained_unit_s": round(short, 2),
+        "sustained_long_s": round(long, 2),
+        "sustained_ratio": round((long / PROBE_LONG_MULT) / short, 3),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from kafka_connect_dynamodb_spark.session import get_spark
@@ -99,6 +147,12 @@ def main() -> None:
     # retirees rotated out of the 50-row driver gate (r5) still bench here,
     # keeping every HEADLINE key comparable across rounds
     qs = {**entrymod.RETIRED_QUERIES, **entrymod.queries()}
+
+    probe_pre = probe_post = None
+    if HOST_PROBE:
+        _force(qs["simhash_near_dups"](spark, SF_DIR))   # warm the probe
+        probe_pre = _host_probe(spark, qs["simhash_near_dups"])
+
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm file listing/footer cache
@@ -167,6 +221,53 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    if HOST_PROBE:
+        probe_post = _host_probe(spark, qs["simhash_near_dups"])
+
+    # ---- incremental ingestion ops (VERDICT r6 next #6): the 100 TB
+    # steady state is an index at rest probed per crawl increment, never a
+    # corpus re-shuffle. Measure the probe cost AND the full-rebuild cost
+    # it replaces on an order-respecting 90/10 corpus/increment split
+    # (increment ids sort after corpus ids — the sticky-owner contract).
+    from pyspark.sql import functions as F
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        incremental_line_dedup, line_dedup, line_dup_index)
+    from kafka_connect_dynamodb_spark.streaming.neardup import (
+        first_owner_pairs, incremental_neardup, neardup_index)
+
+    inc_timings: dict[str, float] = {}
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    thr = docs.agg(F.percentile_approx("doc_id", 0.9, 10000).alias("t")).first().t
+    corpus = docs.filter(F.col("doc_id") <= thr)
+    increment = docs.filter(F.col("doc_id") > thr)
+    iwork = tempfile.mkdtemp(prefix="bench-inc-")
+    try:
+        def timed(name, thunk):
+            t0 = time.perf_counter()
+            thunk()
+            inc_timings[name] = round(time.perf_counter() - t0, 3)
+
+        # index build is the ONE-TIME cost; probes are the steady state
+        timed("line_index_build", lambda: line_dup_index(corpus)
+              .write.parquet(os.path.join(iwork, "lidx")))
+        lidx = spark.read.parquet(os.path.join(iwork, "lidx"))
+        _force(incremental_line_dedup(increment, lidx))          # warm
+        timed("line_dedup_increment_probe",
+              lambda: _force(incremental_line_dedup(increment, lidx)))
+        timed("line_dedup_full_rebuild",
+              lambda: _force(line_dedup(docs)))
+
+        timed("neardup_index_build", lambda: neardup_index(corpus)
+              .write.parquet(os.path.join(iwork, "nidx")))
+        nidx = spark.read.parquet(os.path.join(iwork, "nidx"))
+        _force(incremental_neardup(increment, nidx))             # warm
+        timed("neardup_increment_probe",
+              lambda: _force(incremental_neardup(increment, nidx)))
+        timed("neardup_full_rebuild",
+              lambda: _force(first_owner_pairs(docs)))
+    finally:
+        shutil.rmtree(iwork, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "cdc_replay_and_headline_queries_total_sec",
@@ -186,6 +287,8 @@ def main() -> None:
         "cpus": CPUS,
         "file_stats": FILE_STATS,
         "change_feed": CHANGE_FEED,
+        "incremental_ops": inc_timings,
+        "host_probe": {"pre": probe_pre, "post": probe_post},
     }
     print(json.dumps(out))
 
