@@ -252,7 +252,51 @@ QUERY_AUDIT = {
             ("rank-capped example collection", "Window"),
             ("bounded collect aggregate", "ObjectHashAggregate"),
         ],
+        # r7 rotation rows
+        "debezium_roundtrip": [
+            ("no Python anywhere (JVM to_json/from_json both directions)",
+             "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("partial+final LWW aggregate (map-side combine; sort-based "
+             "for the decimal max_by)", "SortAggregate"),
+            ("codegen'd envelope codec", "codegen id"),
+        ],
+        "ivf_pq_residual_topk": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (residual tables are cell-keyed literal "
+             "CASEs)", "Join", False),
+            ("top-k without global sort", "TakeOrderedAndProject"),
+        ],
     }
+
+
+def zorder_section(spark, sf_dir: str):
+    """(title, plan, checks) for zorder_pruned_scan — the plan shape plus the
+    manifest-level data-skipping numbers (files read < files total on the
+    combined two-column band), which live ABOVE the Spark plan: pruning
+    happens against per-file z-column min/max stats before the scan DataFrame
+    is even built (lake/table.py:pruned_entries), so the evidence is the
+    file-count arithmetic, not a plan node."""
+    import __spark_entry__ as entrymod
+    table = entrymod._zorder_table(spark, sf_dir)
+    lo, hi = entrymod._zorder_custkey_band(spark, sf_dir)
+    preds = [("o_custkey", ">=", lo), ("o_custkey", "<=", hi),
+             ("o_totalprice", ">=", entrymod._Z_PRICE_LO),
+             ("o_totalprice", "<=", entrymod._Z_PRICE_HI)]
+    total = len(table.manifest().files)
+    pruned = len(table.pruned_entries(preds))
+    one_col = len(table.pruned_entries(preds[:2]))
+    p = plan_of(entrymod.q_zorder_pruned_scan(spark, sf_dir))
+    checks = [
+        (f"two-column band prunes files: {pruned}/{total} read",
+         pruned < total),
+        (f"second z-column tightens pruning beyond the first "
+         f"({pruned} <= {one_col} <= {total})", pruned <= one_col),
+        ("residual predicates re-applied in the scan (exactness)",
+         "Filter" in p),
+        ("no Python anywhere", "EvalPython" not in p),
+    ]
+    return ("query: zorder_pruned_scan (manifest stats skipping)", p, checks)
 
 
 def main() -> None:
@@ -266,6 +310,7 @@ def main() -> None:
     sections = [hot_path_section(spark)]
     for name in QUERY_AUDIT:
         sections.append(query_section(spark, SF_DIR, name))
+    sections.append(zorder_section(spark, SF_DIR))
 
     out = ["# PLANS.md — physical-plan audit (generated by scripts/explain_audit.py)",
            "",
