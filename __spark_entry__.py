@@ -54,6 +54,41 @@ def q_cdc_op_decode(spark, sf_dir):
               .orderBy("op"))
 
 
+def q_cdc_parse_error_quarantine(spark, sf_dir):
+    """F5/F6 in their operational form (r7): DLQ classification over a
+    deterministically corrupted envelope stream. The reference logs-and-
+    skips unconvertible records (DynamoDBSourceTask.java:363-367); the
+    engine captures them as data (operators/quarantine.py). Corruption
+    slots by event_id % 11: 0=unknown eventName, 1=NULL eventName,
+    2=NULL keys, 3=malformed keys JSON, 4=missing required key attribute;
+    the rest are clean. Output: per-reason count + sum/min/max event_id —
+    pins exact per-event membership, not just totals."""
+    from kafka_connect_dynamodb_spark.operators.quarantine import (
+        classify_rejects)
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 11
+    env = ev.select(
+        "event_id",
+        F.when(m == 0, F.lit("TRIM_HORIZON"))
+         .when(m == 1, F.lit(None).cast("string"))
+         .when(F.col("event_type") == "signup", F.lit("INSERT"))
+         .when(F.col("event_type") == "error", F.lit("REMOVE"))
+         .otherwise(F.lit("MODIFY")).alias("event_name"),
+        F.when(m == 2, F.lit(None).cast("string"))
+         .when(m == 3, F.lit('{"uid":{'))
+         .when(m == 4, F.lit('{"other":{"n":"1"}}'))
+         .otherwise(F.concat(F.lit('{"uid":{"n":"'),
+                             F.col("user_id").cast("string"),
+                             F.lit('"}}'))).alias("keys"))
+    rej = classify_rejects(env, key_fields=("uid",))
+    return (rej.groupBy("reject_reason")
+               .agg(F.count("*").alias("n_rejects"),
+                    F.sum("event_id").cast("long").alias("sum_event_id"),
+                    F.min("event_id").alias("min_event_id"),
+                    F.max("event_id").alias("max_event_id"))
+               .orderBy("reject_reason"))
+
+
 def q_cdc_lww_latest_per_key(spark, sf_dir):
     """Per-key last-writer-wins (A2 generalized): latest event per user_id
     via max_by partial/final agg (engine's hot-path reduce)."""
@@ -2154,7 +2189,7 @@ def _temperature_mix_oracle(target_frac: float = 0.4,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "cdc_op_decode": q_cdc_op_decode,
+        "cdc_parse_error_quarantine": q_cdc_parse_error_quarantine,
         "cdc_lww_latest_per_key": q_cdc_lww_latest_per_key,
         "cdc_apply_final_state": q_cdc_apply_final_state,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -2209,9 +2244,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "cdc_op_decode": f"""
-            SELECT {_OP_SQL} AS op, count(*) AS n_events
-            FROM events GROUP BY 1 ORDER BY op""",
+        "cdc_parse_error_quarantine": """
+            WITH env AS (SELECT event_id,
+                   CASE WHEN event_id % 11 = 0 THEN 'TRIM_HORIZON'
+                        WHEN event_id % 11 = 1 THEN NULL
+                        WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'REMOVE'
+                        ELSE 'MODIFY' END AS event_name,
+                   CASE WHEN event_id % 11 = 2 THEN NULL
+                        WHEN event_id % 11 = 3 THEN '{"uid":{'
+                        WHEN event_id % 11 = 4 THEN '{"other":{"n":"1"}}'
+                        ELSE '{"uid":{"n":"' || CAST(user_id AS VARCHAR)
+                             || '"}}' END AS keys
+                FROM events),
+            cls AS (SELECT event_id,
+                   CASE WHEN event_name IS NULL
+                          OR event_name NOT IN ('INSERT','MODIFY','REMOVE')
+                          THEN 'unknown_event_name'
+                        WHEN keys IS NULL THEN 'null_keys'
+                        WHEN COALESCE(
+                            json_extract_string(CASE WHEN json_valid(keys)
+                                THEN keys ELSE '{}' END, '$.uid.s'),
+                            json_extract_string(CASE WHEN json_valid(keys)
+                                THEN keys ELSE '{}' END, '$.uid.n')) IS NULL
+                          THEN 'unparseable_keys' END AS reject_reason
+                FROM env)
+            SELECT reject_reason, count(*) AS n_rejects,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM cls WHERE reject_reason IS NOT NULL
+            GROUP BY 1 ORDER BY reject_reason""",
         "cdc_lww_latest_per_key": """
             SELECT user_id, event_type AS last_event_type, value AS last_value,
                    epoch_ms(ts) AS last_ts_ms
@@ -2642,6 +2705,11 @@ RETIRED_QUERIES = {
     "anti_join_inactive": q_anti_join_inactive,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    # r7b: ceded its slot to cdc_parse_error_quarantine, whose reason
+    # classification strictly supersedes this row's event-name CASE; the
+    # c/u/d decode itself stays certified inside cdc_apply_final_state
+    # and debezium_roundtrip (both drive decode_op through the apply path).
+    "cdc_op_decode": q_cdc_op_decode,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -2742,6 +2810,9 @@ RETIRED_ORACLE_SQL = {
         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "pq_adc_topk": _pq_oracle(_TOPK),
     "embedding_ivf_topk": _ivf_oracle(_TOPK),
+    "cdc_op_decode": f"""
+        SELECT {_OP_SQL} AS op, count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY op""",
 }
 
 BASELINE_ORACLE_SQL = {

@@ -41,7 +41,8 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
                schema=None,
                metrics: list[dict[str, Any]] | None = None,
                log_format: str = "parquet",
-               reader_options: dict[str, str] | None = None) -> StreamingQuery:
+               reader_options: dict[str, str] | None = None,
+               dlq_dir: str | None = None) -> StreamingQuery:
     """Tail a change-event log directory into the lake table.
 
     ``log_format`` accepts any Spark streaming file source ("parquet" default;
@@ -62,6 +63,13 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
     (DynamoDBSourceTask.java:318-331) — use it for long-lived
     ``processing_time`` tails where a query-start snapshot of the clock
     would go stale.
+
+    ``dlq_dir`` turns on the dead-letter quarantine: events the apply path
+    ignores (unknown eventName, null/unparseable keys — the records the
+    reference merely logs and skips, DynamoDBSourceTask.java:363-367) land
+    as parquet under ``<dlq_dir>/batch_id=<n>/`` with a ``reject_reason``
+    column, rewritten idempotently on batch redelivery. Costs one extra
+    scan of each micro-batch, nothing table-sized.
     """
     reader = spark.readStream.schema(schema or events_schema())
     if max_files_per_trigger:
@@ -71,6 +79,10 @@ def start_tail(spark: SparkSession, log_dir: str, table: LakeTable, *,
     src = reader.format(log_format).load(log_dir)
 
     def _apply(batch_df, batch_id: int):
+        if dlq_dir is not None:
+            from kafka_connect_dynamodb_spark.operators.quarantine import (
+                classify_rejects, write_dlq)
+            write_dlq(classify_rejects(batch_df), dlq_dir, batch_id)
         res = apply_batch(batch_df.sparkSession, table, batch_df,
                           batch_id=batch_id, source=source,
                           init_sync_start=init_sync_start,
