@@ -2620,6 +2620,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_driver_contract.py::test_crossjoin_baselines_match_oracle
 # with the driver's own compare (and their scale twins embedding_near_dup_pairs
 # / knn_join_lsh remain driver-certified).
+def q_exact_price_quantiles(spark, sf_dir):
+    """Exact global quantiles of l_extendedprice WITHOUT a global sort
+    (operators/stats.py, r7): histogram-refinement rank selection — the
+    100 TB replacement for orderBy+limit percentiles. Bit-exact vs the
+    oracle's row_number rank selection because the algorithm never does
+    arithmetic on the values, only ordering."""
+    from kafka_connect_dynamodb_spark.operators.stats import quantiles_df
+    li = _t(spark, sf_dir, "lineitem")
+    return quantiles_df(spark, li, "l_extendedprice",
+                        [0.01, 0.25, 0.5, 0.75, 0.99],
+                        n_buckets=256, final_take=512)
+
+
+# Gate-rotation candidates: new-this-round operators that keep the full
+# DuckDB oracle contract in the mandatory out-of-gate pytest
+# (tests/test_driver_contract.py) until a gate slot opens next round.
+CANDIDATE_QUERIES = {
+    "exact_price_quantiles": q_exact_price_quantiles,
+}
+
+CANDIDATE_ORACLE_SQL = {
+    "exact_price_quantiles": """
+        WITH t AS (SELECT l_extendedprice AS v FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL),
+        n AS (SELECT count(*) AS c FROM t),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+        p AS (SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
+              AS probs(prob))
+        SELECT CAST(prob AS DOUBLE) AS prob, min(v) AS value
+        FROM p, r, n
+        WHERE r.rn >= GREATEST(1, CAST(ceil(p.prob * n.c) AS BIGINT))
+        GROUP BY prob ORDER BY prob""",
+}
+
+
 BASELINE_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "knn_join": q_knn_join,

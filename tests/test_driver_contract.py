@@ -66,8 +66,11 @@ def test_query_matches_oracle(spark, duck, name):
     assert sr == dr, f"{name}: values differ, e.g. {mismatches}"
 
 
-OUT_OF_GATE = {**entrymod.BASELINE_QUERIES, **entrymod.RETIRED_QUERIES}
-OUT_OF_GATE_SQL = {**entrymod.BASELINE_ORACLE_SQL, **entrymod.RETIRED_ORACLE_SQL}
+OUT_OF_GATE = {**entrymod.BASELINE_QUERIES, **entrymod.RETIRED_QUERIES,
+               **entrymod.CANDIDATE_QUERIES}
+OUT_OF_GATE_SQL = {**entrymod.BASELINE_ORACLE_SQL,
+                   **entrymod.RETIRED_ORACLE_SQL,
+                   **entrymod.CANDIDATE_ORACLE_SQL}
 
 
 @pytest.mark.parametrize("name", sorted(OUT_OF_GATE))
