@@ -286,14 +286,14 @@ def gopher_repetition(df: DataFrame, *, id_col: str = "doc_id",
     driver): token positions explode ONCE; char starts are a per-doc
     prefix-sum window; every n's grams are built per exploded row in one
     projection (array-of-structs + explode, so the generator input is
-    evaluated once per token, not once per (token, n)); the top branch is
-    a map-side-combined (doc, n, gram) count + per-(doc, n) rank window
-    (WindowGroupLimit prunes to rank 1 before the final shuffle); the dup
-    branch is a per-(doc, n, gram) count window + the running-max interval
-    union of :func:`..operators.dedup.doc_duplicated_span_fraction`, here
-    over CHAR spans. Three shuffles total, all keyed by the doc id (plus
-    n/gram) — no corpus-wide key, no skew beyond a single document's
-    n-grams, all aggregations partial-combine.
+    evaluated once per token, not once per (token, n)); gram counts, the
+    per-n top-1 rank, the dup-span interval union, and the final per-doc
+    aggregate all ride the ONE hashpartitioning(doc id) exchange the
+    prefix-sum window pays (r7 fusion — see the in-body comment for the
+    ORDER BY + frame tricks that move the per-n/per-gram keying out of
+    the partition clauses). One doc-keyed shuffle total — no corpus-wide
+    key, no skew beyond a single document's n-grams, all aggregations
+    partial-combine.
 
     All arithmetic is exact-integer until one final double division per
     emitted value, so a SQL oracle reproduces every row bit-for-bit.
@@ -335,37 +335,50 @@ def gopher_repetition(df: DataFrame, *, id_col: str = "doc_id",
                    F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
            .withColumn("_gl", F.length("_gram")))
 
-    # SINGLE-LINEAGE metric pass: both metric families ride ONE exchange
-    # keyed by the doc id (a forked top/dup plan re-evaluates the
-    # scan+explode map side once per branch — measured ~2x at sf0.1).
-    # Window 1 counts each gram's occurrences, keyed on xxhash64(n, gram)
-    # rather than the gram string (8-byte sort key inside the stage; same
-    # 2^-64 collision trade as dedup._window_hashes — tokens cannot
-    # contain whitespace, so the space-join the hash covers is injective).
-    # Window 2 ranks grams for the top metric. Window 3 is the dup
-    # branch's char-span interval union with the `occurrences >= 2` filter
-    # FOLDED INTO the running-max aggregate (non-dup rows contribute NULL),
-    # so no branch filter is needed and every row keeps flowing to the one
-    # wide per-doc aggregation, whose partial aggregate rides the same id
-    # partitioning (no further exchange).
-    c = F.count("*").over(
-        Window.partitionBy("id", F.xxhash64("_n", "_gram")))
-    rk = F.row_number().over(
-        Window.partitionBy("id", "_n")
-              .orderBy(F.col("_c").desc(), F.col("_gram").asc(),
-                       F.col("_p").asc()))
-    scored = (occ.withColumn("_c", c).withColumn("_rk", rk))
+    # SINGLE-EXCHANGE metric pass (r7, VERDICT r6 next #8): every window
+    # below partitions by the BARE doc id, so the whole suite — gram
+    # counts, top-1 rank, interval union, AND the final per-doc aggregate
+    # — rides the one hashpartitioning(id) exchange the char-prefix-sum
+    # window already paid (explode preserves partitioning). The per-n /
+    # per-gram keying moves from the partition clause into ORDER BY + frame
+    # tricks, trading network (3 further doc-keyed exchanges, the r6 shape)
+    # for in-stage sorts:
+    # * counts: ORDER BY xxhash64(n, gram) with a RANGE CURRENT ROW frame —
+    #   the frame spans exactly the order-key peers, i.e. the (n, gram)
+    #   group (same 8-byte-key / 2^-64 collision trade as
+    #   dedup._window_hashes; the space-join the hash covers is injective
+    #   because tokens cannot contain whitespace);
+    # * top-1 per n: ORDER BY (n, count DESC, gram, pos) — the first row of
+    #   each n-block is that n's winner, detected with one lag(n);
+    # * interval union: ORDER BY (n, pos) with the running max carrying the
+    #   dup-span char end ENCODED as n * 2**44 + end (doc char offsets are
+    #   < 2**44; long arithmetic exact), so a value leaking across an
+    #   n-boundary self-identifies and decodes to NULL — the per-n reset
+    #   the r6 partition clause provided, without its exchange.
+    w_cnt = (Window.partitionBy("id").orderBy(F.xxhash64("_n", "_gram"))
+             .rangeBetween(Window.currentRow, Window.currentRow))
+    ord_rank = [F.col("_n").asc(), F.col("_c").desc(), F.col("_gram").asc(),
+                F.col("_p").asc()]
+    w_rank = Window.partitionBy("id").orderBy(*ord_rank)
+    scored = (occ.withColumn("_c", F.count("*").over(w_cnt))
+                 .withColumn("_top1",
+                             F.lag("_n").over(w_rank).isNull()
+                             | (F.lag("_n").over(w_rank) != F.col("_n"))))
     is_dup = F.col("_c") >= 2
-    w_iv = (Window.partitionBy("id", "_n").orderBy("_p")
+    _ENC = 2 ** 44
+    w_iv = (Window.partitionBy("id").orderBy("_n", "_p")
             .rowsBetween(Window.unboundedPreceding, -1))
-    prev_ce = F.max(F.when(is_dup, F.col("_cs") + F.col("_gl"))).over(w_iv)
+    enc_max = F.max(F.when(is_dup, F.col("_n").cast("long") * _ENC
+                           + F.col("_cs") + F.col("_gl"))).over(w_iv)
+    prev_ce = F.when((enc_max / _ENC).cast("long") == F.col("_n"),
+                     enc_max % _ENC)
     contrib = F.when(is_dup, F.greatest(
         F.lit(0),
         F.col("_cs") + F.col("_gl")
         - F.greatest(F.col("_cs"), F.coalesce(prev_ce, F.col("_cs")))))
     scored = scored.withColumn("_cc", contrib)
 
-    is_top1 = F.col("_rk") == 1
+    is_top1 = F.col("_top1")
     wide = scored.groupBy("id").agg(
         *[F.max(F.when((F.col("_n") == n) & is_top1, F.col("_gram")))
            .alias(f"_tg{n}") for n in top_ns],

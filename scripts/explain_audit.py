@@ -185,9 +185,11 @@ QUERY_AUDIT = {
             ("map-side combined (doc, token) counts", "HashAggregate"),
             ("rank-1 filter pushed into the window", "WindowGroupLimit"),
         ],
-        # r6d Gopher repetition suite (operators/curation.py) — single
-        # metric lineage: count/rank/interval-union windows all ride one
-        # doc-id exchange, no branch fork re-evaluating the explode
+        # Gopher repetition suite (operators/curation.py) — r7 fusion:
+        # count/rank/interval-union windows AND the per-doc aggregate all
+        # partition by the bare doc id, so the whole metric pass rides the
+        # prefix-sum window's single hashpartitioning(id) exchange (the
+        # zorder-style custom section below asserts the exchange count)
         "gopher_repetition": [
             ("no Python anywhere", "EvalPython", False),
             ("no cartesian product", "CartesianProduct", False),
@@ -270,6 +272,26 @@ QUERY_AUDIT = {
     }
 
 
+def gopher_exchange_section(spark, sf_dir: str):
+    """(title, plan, checks) asserting gopher_repetition's r7 fusion by
+    COUNT, which the substring checks can't express: exactly one
+    hashpartitioning exchange (the doc-id metric exchange) in the whole
+    plan — gram counts, top-1 rank, interval union, and the per-doc
+    aggregate all ride it."""
+    import __spark_entry__ as entrymod
+    p = plan_of(entrymod.queries()["gopher_repetition"](spark, sf_dir))
+    # formatted explain splits the node name and its partitioning across
+    # lines: "(n) Exchange" + "Arguments: hashpartitioning(...)"
+    n_hash = p.count("Arguments: hashpartitioning")
+    checks = [
+        # ==1 also proves the partial+final per-doc aggregate has no
+        # exchange between them (it would be a second hashpartitioning)
+        (f"exactly one doc-keyed exchange in the metric pass ({n_hash})",
+         n_hash == 1),
+    ]
+    return ("query: gopher_repetition (single-exchange fusion)", p, checks)
+
+
 def zorder_section(spark, sf_dir: str):
     """(title, plan, checks) for zorder_pruned_scan — the plan shape plus the
     manifest-level data-skipping numbers (files read < files total on the
@@ -310,6 +332,7 @@ def main() -> None:
     sections = [hot_path_section(spark)]
     for name in QUERY_AUDIT:
         sections.append(query_section(spark, SF_DIR, name))
+    sections.append(gopher_exchange_section(spark, SF_DIR))
     sections.append(zorder_section(spark, SF_DIR))
 
     out = ["# PLANS.md — physical-plan audit (generated by scripts/explain_audit.py)",
