@@ -2633,11 +2633,24 @@ def q_exact_price_quantiles(spark, sf_dir):
                         n_buckets=256, final_take=512)
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Funnel analysis over the events change stream (operators/funnel.py,
+    r7): per user, the earliest strictly-increasing timestamp chain through
+    signup -> click -> purchase, as k chained whole-partition window minima
+    over ONE hashpartitioning(user) exchange (no joins, no sort). The
+    oracle expresses the same greedy chain as k dependent min-aggregates."""
+    from kafka_connect_dynamodb_spark.operators.funnel import funnel_times
+    ev = _t(spark, sf_dir, "events")
+    return (funnel_times(ev, ["signup", "click", "purchase"])
+            .orderBy("user_id"))
+
+
 # Gate-rotation candidates: new-this-round operators that keep the full
 # DuckDB oracle contract in the mandatory out-of-gate pytest
 # (tests/test_driver_contract.py) until a gate slot opens next round.
 CANDIDATE_QUERIES = {
     "exact_price_quantiles": q_exact_price_quantiles,
+    "funnel_steps": q_funnel_steps,
 }
 
 CANDIDATE_ORACLE_SQL = {
@@ -2652,6 +2665,30 @@ CANDIDATE_ORACLE_SQL = {
         FROM p, r, n
         WHERE r.rn >= GREATEST(1, CAST(ceil(p.prob * n.c) AS BIGINT))
         GROUP BY prob ORDER BY prob""",
+    "funnel_steps": """
+        WITH e AS (SELECT DISTINCT user_id, event_type, ts FROM events
+                   WHERE event_type IN ('signup', 'click', 'purchase')),
+        u AS (SELECT DISTINCT user_id FROM e),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id)
+        SELECT u.user_id, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3,
+               CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                         WHEN s2.t2 IS NOT NULL THEN 2
+                         WHEN s1.t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS steps_completed
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id""",
 }
 
 

@@ -54,7 +54,8 @@ def query_section(spark, sf_dir: str, name: str):
     import __spark_entry__ as entrymod
     wanted = QUERY_AUDIT[name]
     # retirees rotated out of the driver gate (r5) stay plan-audited
-    qs = {**entrymod.RETIRED_QUERIES, **entrymod.queries()}
+    qs = {**entrymod.RETIRED_QUERIES, **entrymod.CANDIDATE_QUERIES,
+          **entrymod.queries()}
     p = plan_of(qs[name](spark, sf_dir))
     checks = [(w[0], (w[1] in p) == (w[2] if len(w) > 2 else True))
               for w in wanted]
@@ -268,6 +269,18 @@ QUERY_AUDIT = {
             ("no join anywhere (residual tables are cell-keyed literal "
              "CASEs)", "Join", False),
             ("top-k without global sort", "TakeOrderedAndProject"),
+        ],
+        # r7 candidate (operators/funnel.py): k chained step minima as
+        # whole-partition windows over one user exchange; the distinct
+        # pre-agg and the final per-user reduce both partial-combine
+        "funnel_steps": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (steps chain through windows)",
+             "Join", False),
+            ("step filter pushed to the parquet scan",
+             "PushedFilters: [In(event_type"),
+            ("single user-keyed exchange shared by all step windows",
+             "hashpartitioning(u#"),
         ],
     }
 
