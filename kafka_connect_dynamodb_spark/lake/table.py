@@ -203,12 +203,26 @@ class LakeTable:
     """
 
     def __init__(self, root: str, io: CommitIO | None = None, *,
-                 change_feed: bool = False, file_stats: bool = True,
+                 change_feed: bool = False, feed_preimages: bool = False,
+                 file_stats: bool = True,
                  stats_driver_max_files: int = 64):
         """``change_feed=True`` makes every MERGE also publish its compacted
         per-commit delta (the LWW winners it applied) under ``changes/`` —
         the engine's CDC-OUT surface, mirroring the reference's table->event
         emission direction; read back with :meth:`changes`.
+
+        ``feed_preimages=True`` (requires ``change_feed``) upgrades the
+        delta to Delta-CDF-shaped changes: only APPLIED post-image rows are
+        published (submitted winners that lose the seq guard against the
+        table are omitted — they are no-ops for replay and would corrupt
+        additive consumers), and every applied row that overwrote or
+        deleted a LIVE row is accompanied by that row's pre-image with
+        ``_op='pu'`` (update pre-image) / ``'pd'`` (delete pre-image) and
+        the OLD ``_seq``. Pre-images make grouped aggregates incrementally
+        maintainable with NO keyed state (delta = post - pre; see
+        operators/incremental.py) — at 100 TB the view refresh cost is
+        proportional to churn, never to table size. Costs one extra
+        bucket-pruned join per merge, hence opt-in.
 
         ``file_stats=True`` (default) records per-file min/max column stats
         in the manifest at commit time (read from the parquet footers the
@@ -216,10 +230,13 @@ class LakeTable:
         :meth:`scan` to skip files by predicate — the Iceberg/Delta
         data-skipping analog, and the non-key-column complement to the hash
         bucket pruning MERGE and read_key already use."""
+        if feed_preimages and not change_feed:
+            raise ValueError("feed_preimages requires change_feed=True")
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.io = io if io is not None else PosixCommitIO()
         self.change_feed = change_feed
+        self.feed_preimages = feed_preimages
         self.file_stats = file_stats
         self.stats_driver_max_files = stats_driver_max_files
 
@@ -821,7 +838,10 @@ class LakeTable:
                             f"{evolved[c].dataType.simpleString()}; cast the "
                             "batch explicitly if the loss is intended")
                     upd = upd.withColumn(c, F.col(c).cast(evolved[c].dataType))
-            s = upd.select(*data_cols, "_seq", "_deleted").alias("s")
+            s_cols = [*data_cols, "_seq", "_deleted"]
+            if self.change_feed and self.feed_preimages:
+                s_cols.append("_op")     # feed post-rows keep the batch op
+            s = upd.select(*s_cols).alias("s")
 
             joined = tgt.join(s, on=keys, how="full_outer")
             take_src = F.col("s._seq").isNotNull() & (
@@ -853,7 +873,33 @@ class LakeTable:
                 rel = os.path.join("changes", f"c{version:012d}-{uid}.parquet")
                 staged_rel = os.path.join("changes",
                                           f".stage-c{version:012d}-{uid}")
-                (upd.drop("_bucket", "_deleted")
+                if self.feed_preimages:
+                    # Delta-CDF-shaped delta: APPLIED winners only, plus the
+                    # pre-image of every live row they overwrote/deleted
+                    # ('pu'/'pd', OLD _seq). Submitted winners that lose the
+                    # seq guard are omitted — replay-neutral, and required
+                    # for additive consumers (a losing 'u' row would add a
+                    # contribution whose pre-image never existed). Costs one
+                    # extra evaluation of the bucket-pruned join.
+                    applied = joined.filter(take_src)
+                    post = applied.select(
+                        *keys,
+                        *[F.col(f"s.{c}").alias(c) for c in payload_cols],
+                        F.col("s._op").alias("_op"),
+                        F.col("s._seq").alias("_seq"))
+                    had_live = (F.col("t._seq").isNotNull()
+                                & ~F.coalesce(F.col("t._deleted"),
+                                              F.lit(False)))
+                    pre = applied.filter(had_live).select(
+                        *keys,
+                        *[F.col(f"t.{c}").alias(c) for c in payload_cols],
+                        F.when(F.col("s._deleted"), F.lit("pd"))
+                         .otherwise(F.lit("pu")).alias("_op"),
+                        F.col("t._seq").alias("_seq"))
+                    feed_df = post.unionByName(pre)
+                else:
+                    feed_df = upd.drop("_bucket", "_deleted")
+                (feed_df
                     .write.mode("errorifexists")
                     .parquet(os.path.join(self.root, staged_rel)))
                 change_entry = [{"version": version, "path": rel,
@@ -927,7 +973,13 @@ class LakeTable:
         [from_version, to_version]. Downstream incremental consumers replay
         it with max-seq-per-key LWW; replay(snapshot + feed) reproduces
         ``read()`` exactly (pinned by tests) — the engine's table->event
-        direction, mirroring the reference connector's Kafka emission."""
+        direction, mirroring the reference connector's Kafka emission.
+
+        On a ``feed_preimages`` table, deltas additionally carry 'pu'/'pd'
+        pre-image rows (the overwritten/deleted live row, OLD ``_seq``) and
+        post rows are restricted to APPLIED winners — the Delta-CDF shape
+        consumed by operators/incremental.py. Pre-image rows carry old seqs,
+        so LWW replayers (mirror_changes) are unaffected by construction."""
         m = self.manifest(to_version)
         self._heal_changes(m)
         sel = [e for e in m.change_files if e["version"] >= from_version]

@@ -173,5 +173,8 @@ def debezium_export(feed: DataFrame, *,
             F.coalesce(F.col(commit_col).cast("long"), F.lit(0)).alias("pos"),
         ).alias("source"),
     )
-    return feed.select(
+    # pre-image rows from a feed_preimages table ('pu'/'pd') are the POST
+    # rows' old state, not events — exporting them would emit stale upserts
+    # (harmless to LWW replayers, wrong for at-face-value consumers)
+    return feed.filter(~op.isin("pu", "pd")).select(
         F.to_json(F.struct(payload.alias("payload"))).alias(value_col))
