@@ -1130,6 +1130,87 @@ def q_cdc_salted_hot_key_agg(spark, sf_dir):
                   .orderBy("hot_key"))
 
 
+_INC_VIEW_RESULTS: dict = {}
+
+
+def q_cdc_incremental_agg_view(spark, sf_dir):
+    """Incrementally maintained aggregate view over the pre-image change
+    feed (operators/incremental.py, r7) driven through the REAL lakehouse:
+    a feed_preimages LakeTable is snapshot-created from customer, two
+    LWW-deduped event tranches are MERGEd in, and an IncrementalAggView
+    bootstraps on the snapshot then folds each tranche's Delta-CDF delta
+    (applied posts minus 'pu'/'pd' pre-images) — never rescanning the
+    table. The oracle recomputes the same grouped aggregate directly over
+    the global LWW replay, so the row pins that churn-proportional
+    maintenance == batch recompute. Event seqs are event_id+1 so every
+    event outranks the snapshot's _seq=0; groups move across updates
+    ('seg-N' from event_id), exercising pre-image retraction."""
+    import atexit
+    import shutil
+    import tempfile
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    from kafka_connect_dynamodb_spark.operators.incremental import (
+        IncrementalAggView)
+    from kafka_connect_dynamodb_spark.operators.lww import latest_per_key
+    if sf_dir in _INC_VIEW_RESULTS:
+        return _INC_VIEW_RESULTS[sf_dir]
+    work = tempfile.mkdtemp(prefix="incview-row-")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("grp"),
+        F.floor("c_acctbal").cast("long").alias("val"))
+    table = LakeTable(os.path.join(work, "t"), change_feed=True,
+                      feed_preimages=True)
+    table.create(spark, base, key_cols=["key"], n_buckets=4)
+    view = IncrementalAggView(table, LakeTable(os.path.join(work, "v")),
+                              ["grp"], ["val"], view_buckets=2)
+    view.refresh(spark)                       # bootstrap on the snapshot
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        (F.col("event_id") + 1).cast("long").alias("seq"),
+        F.concat(F.lit("seg-"), (F.col("event_id") % 4).cast("string"))
+         .alias("grp"),
+        F.floor("value").cast("long").alias("val"),
+        _op_expr().alias("_op"),
+        (F.col("event_id") % 2).alias("half"))
+    for i in (0, 1):
+        tranche = latest_per_key(ev.filter(F.col("half") == i)
+                                   .drop("half"), ["key"], ["seq"])
+        dead = F.col("_op") == "d"
+        batch = tranche.select(
+            "key",
+            F.when(dead, None).otherwise(F.col("grp")).alias("grp"),
+            F.when(dead, None).otherwise(F.col("val")).alias("val"),
+            "_op", F.col("seq").alias("_seq"))
+        table.merge(spark, batch, batch_id=i + 1)
+        res = view.refresh(spark)
+        assert not res.get("skipped"), res    # each tranche must fold
+    out = view.read(spark).orderBy("grp")
+    _INC_VIEW_RESULTS[sf_dir] = out
+    return out
+
+
+def q_cdc_scd2_history(spark, sf_dir):
+    """SCD Type 2 dimension history from the change stream
+    (operators/scd2.py, r7): every non-delete event opens a version valid
+    [seq, next_seq); updates close the prior version, deletes close
+    without opening. One keyed exchange + one window lead — no joins, no
+    state; is_current marks exactly the LWW live rows."""
+    from kafka_connect_dynamodb_spark.operators.scd2 import scd2_history
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        "event_type",
+        F.floor("value").cast("long").alias("val"),
+        _op_expr().alias("_op"))
+    return (scd2_history(ev, ["key"], "seq", ["event_type", "val"])
+            # nullable-int columns round-trip as float64 through the
+            # driver's pandas fetch; stringify on BOTH sides (NULL = open)
+            .withColumn("valid_to", F.col("valid_to").cast("string"))
+            .orderBy("key", "valid_from"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (rows-only check: non-SQL mapInPandas operator).
     Opaque binary column + typed metadata -> Arrow-batched feature extraction
@@ -2199,7 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "cdc_dedup_deliveries": q_cdc_dedup_deliveries,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_top_revenue_orders": q_q3_top_revenue_orders,
+        "cdc_incremental_agg_view": q_cdc_incremental_agg_view,
         "topk_per_group": q_topk_per_group,
         "debezium_roundtrip": q_debezium_roundtrip,
         "unigram_lm_quality": q_unigram_lm_quality,
@@ -2212,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_resample": q_temperature_mix_resample,
         "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "user_sessions": q_user_sessions,
-        "order_price_percentiles": q_order_price_percentiles,
+        "exact_price_quantiles": q_exact_price_quantiles,
         "exact_dedup_docs": q_exact_dedup_docs,
         "bm25_ranking": q_bm25_ranking,
         "dup_span_fraction": q_dup_span_fraction,
@@ -2228,7 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "gopher_repetition": q_gopher_repetition,
         "line_dedup_docs": q_line_dedup_docs,
-        "key_set_ops": q_key_set_ops,
+        "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
@@ -2341,17 +2422,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
-        "q3_top_revenue_orders": """
-            WITH rev AS (
-              SELECT l_orderkey,
-                     sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                         AS DECIMAL(28,4))) AS revenue
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                            JOIN customer ON o_custkey = c_custkey
-              GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10)
-            SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue FROM rev
-            ORDER BY CAST(revenue AS DECIMAL(38,4)) DESC, l_orderkey""",
+        "cdc_incremental_agg_view": f"""
+            WITH base AS (SELECT c_custkey AS key, c_mktsegment AS grp,
+                                 CAST(floor(c_acctbal) AS BIGINT) AS val
+                          FROM customer),
+            ev AS (SELECT user_id AS key, event_id + 1 AS seq,
+                          'seg-' || CAST(event_id % 4 AS VARCHAR) AS grp,
+                          CAST(floor(value) AS BIGINT) AS val,
+                          {_OP_SQL} AS op
+                   FROM events),
+            last AS (SELECT key, grp, val, op FROM
+                     (SELECT *, row_number() OVER (PARTITION BY key
+                              ORDER BY seq DESC) rn FROM ev) WHERE rn = 1),
+            live AS (SELECT COALESCE(l.grp, b.grp) AS grp,
+                            COALESCE(l.val, b.val) AS val
+                     FROM base b FULL OUTER JOIN last l ON b.key = l.key
+                     WHERE COALESCE(l.op, 'r') <> 'd')
+            SELECT grp, count(*) AS n_rows,
+                   CAST(sum(val) AS BIGINT) AS sum_val
+            FROM live GROUP BY grp ORDER BY grp""",
+        "cdc_scd2_history": f"""
+            WITH ev AS (SELECT user_id AS key, event_id AS seq, event_type,
+                               CAST(floor(value) AS BIGINT) AS val,
+                               {_OP_SQL} AS op
+                        FROM events),
+            w AS (SELECT key, event_type, val, seq AS valid_from,
+                         lead(seq) OVER (PARTITION BY key ORDER BY seq)
+                           AS valid_to, op
+                  FROM ev)
+            SELECT key, event_type, val, valid_from,
+                   CAST(valid_to AS VARCHAR) AS valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM w WHERE op <> 'd' ORDER BY key, valid_from""",
+        "exact_price_quantiles": """
+            WITH t AS (SELECT l_extendedprice AS v FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            n AS (SELECT count(*) AS c FROM t),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+            p AS (SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
+                  AS probs(prob))
+            SELECT CAST(prob AS DOUBLE) AS prob, min(v) AS value
+            FROM p, r, n
+            WHERE r.rn >= GREATEST(1, CAST(ceil(p.prob * n.c) AS BIGINT))
+            GROUP BY prob ORDER BY prob""",
         "topk_per_group": """
             SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM
             (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -2588,22 +2701,7 @@ def oracle_sql() -> dict[str, str]:
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
         "line_dedup_docs": _line_dedup_oracle(),
-        "key_set_ops": """
-            WITH e AS (SELECT DISTINCT user_id AS key FROM events),
-            c AS (SELECT DISTINCT c_custkey AS key FROM customer)
-            SELECT 'only_events' AS side, key FROM (SELECT key FROM e EXCEPT SELECT key FROM c)
-            UNION ALL
-            SELECT 'both' AS side, key FROM (SELECT key FROM e INTERSECT SELECT key FROM c)
-            ORDER BY side, key""",
         "neardup_banded_pairs": _neardup_owner_oracle(),
-        "order_price_percentiles": """
-            WITH p AS (SELECT o_orderpriority,
-                              unnest(['p25', 'p50', 'p90']) AS pct,
-                              unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]))
-                                AS price
-                       FROM orders GROUP BY o_orderpriority)
-            SELECT o_orderpriority, pct, price FROM p
-            ORDER BY o_orderpriority, pct""",
     }
 
 
@@ -2649,22 +2747,10 @@ def q_funnel_steps(spark, sf_dir):
 # DuckDB oracle contract in the mandatory out-of-gate pytest
 # (tests/test_driver_contract.py) until a gate slot opens next round.
 CANDIDATE_QUERIES = {
-    "exact_price_quantiles": q_exact_price_quantiles,
     "funnel_steps": q_funnel_steps,
 }
 
 CANDIDATE_ORACLE_SQL = {
-    "exact_price_quantiles": """
-        WITH t AS (SELECT l_extendedprice AS v FROM lineitem
-                   WHERE l_extendedprice IS NOT NULL),
-        n AS (SELECT count(*) AS c FROM t),
-        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
-        p AS (SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
-              AS probs(prob))
-        SELECT CAST(prob AS DOUBLE) AS prob, min(v) AS value
-        FROM p, r, n
-        WHERE r.rn >= GREATEST(1, CAST(ceil(p.prob * n.c) AS BIGINT))
-        GROUP BY prob ORDER BY prob""",
     "funnel_steps": """
         WITH e AS (SELECT DISTINCT user_id, event_type, ts FROM events
                    WHERE event_type IN ('signup', 'click', 'purchase')),
@@ -2777,6 +2863,19 @@ RETIRED_QUERIES = {
     "anti_join_inactive": q_anti_join_inactive,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    # r7c rotation: three rows ceded slots to cdc_incremental_agg_view,
+    # cdc_scd2_history, exact_price_quantiles. Machinery coverage by
+    # certified siblings: q3_top_revenue_orders ⊂ q5_region_revenue (the
+    # same lineitem⋈orders⋈customer decimal-revenue join tree, plus two
+    # more joins) + topk_per_group (deterministic top-k rank/tiebreak);
+    # order_price_percentiles ⊂ exact_price_quantiles (exact rank
+    # selection strictly supersedes the interpolated approx twin — and the
+    # percentile_approx machinery itself is exercised out-of-gate here);
+    # key_set_ops ⊂ cdc_schema_evolution (unionByName/EXCEPT plans) +
+    # decontaminate_docs (the INTERSECT-shaped membership probe).
+    "q3_top_revenue_orders": q_q3_top_revenue_orders,
+    "order_price_percentiles": q_order_price_percentiles,
+    "key_set_ops": q_key_set_ops,
     # r7b: ceded its slot to cdc_parse_error_quarantine, whose reason
     # classification strictly supersedes this row's event-name CASE; the
     # c/u/d decode itself stays certified inside cdc_apply_final_state
@@ -2785,6 +2884,32 @@ RETIRED_QUERIES = {
 }
 
 RETIRED_ORACLE_SQL = {
+    "q3_top_revenue_orders": """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(28,4))) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+          GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10)
+        SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue FROM rev
+        ORDER BY CAST(revenue AS DECIMAL(38,4)) DESC, l_orderkey""",
+    "order_price_percentiles": """
+        WITH p AS (SELECT o_orderpriority,
+                          unnest(['p25', 'p50', 'p90']) AS pct,
+                          unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]))
+                            AS price
+                   FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, pct, price FROM p
+        ORDER BY o_orderpriority, pct""",
+    "key_set_ops": """
+        WITH e AS (SELECT DISTINCT user_id AS key FROM events),
+        c AS (SELECT DISTINCT c_custkey AS key FROM customer)
+        SELECT 'only_events' AS side, key FROM (SELECT key FROM e EXCEPT SELECT key FROM c)
+        UNION ALL
+        SELECT 'both' AS side, key FROM (SELECT key FROM e INTERSECT SELECT key FROM c)
+        ORDER BY side, key""",
     "cdc_envelope_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
                count(*) AS n

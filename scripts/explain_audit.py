@@ -282,6 +282,18 @@ QUERY_AUDIT = {
             ("single user-keyed exchange shared by all step windows",
              "hashpartitioning(u#"),
         ],
+        # r7c (operators/scd2.py): full version history as one keyed
+        # exchange + one lead window; the delete filter runs AFTER the
+        # lead so deletes still close the prior version — no joins, no
+        # state, no second exchange.
+        "cdc_scd2_history": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no join anywhere (versions close via lead window)",
+             "Join", False),
+            ("single key-hash exchange feeding the version window",
+             "hashpartitioning(key#"),
+            ("lead window over the keyed exchange", "Window"),
+        ],
     }
 
 
@@ -303,6 +315,88 @@ def gopher_exchange_section(spark, sf_dir: str):
          n_hash == 1),
     ]
     return ("query: gopher_repetition (single-exchange fusion)", p, checks)
+
+
+def quantile_histogram_section(spark, sf_dir: str):
+    """(title, plan, checks) for exact_price_quantiles. The gate row's
+    returned DataFrame is a driver-built literal (the resolved quantiles),
+    so the auditable plan is the histogram job each refinement level runs
+    (operators/stats.py:exact_quantiles): one pushable range filter over
+    the value column + ONE map-side-combined aggregate emitting n_buckets
+    rows. Rebuild one level's DataFrame exactly as the operator does."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.operators.stats import _bucket
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    vals = (li.select(F.col("l_extendedprice").cast("double").alias("v"))
+              .filter(F.col("v").isNotNull() & ~F.isnan("v")))
+    lo, hi, nb = 901.0, 104949.5, 256
+    cond = (F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi))
+    hist = (vals.withColumn("i", F.when(cond, F.lit(0)))
+                .withColumn("b", F.when(cond, _bucket(F.col("v"), lo,
+                                                      (hi - lo) / nb, nb)))
+                .filter(F.col("i").isNotNull())
+                .groupBy("i", "b")
+                .agg(F.count("v").alias("c"), F.min("v").alias("mn"),
+                     F.max("v").alias("mx")))
+    p = plan_of(hist)
+    checks = [
+        ("value range/null filters pushed to the parquet scan",
+         "PushedFilters: [" in p),
+        ("map-side partial aggregate before the n_buckets-row shuffle",
+         p.count("HashAggregate") >= 2),
+        ("no global sort / range repartition anywhere",
+         "rangepartitioning" not in p),
+        ("no Python anywhere", "EvalPython" not in p),
+    ]
+    return ("query: exact_price_quantiles (one histogram-refinement level)",
+            p, checks)
+
+
+def incremental_view_section(spark):
+    """(title, plan, checks) for cdc_incremental_agg_view's refresh path
+    (operators/incremental.py): the delta plan must scan ONLY the change
+    feed's delta files under changes/ (cost ∝ churn), never the table's
+    data/ files, and fold them with one map-side-combined aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    from kafka_connect_dynamodb_spark.operators.incremental import (
+        feed_agg_delta)
+
+    work = tempfile.mkdtemp(prefix="audit-incview-")
+    try:
+        base = spark.range(100).select(
+            F.col("id").alias("key"),
+            (F.col("id") % 5).cast("string").alias("grp"),
+            (F.col("id") * 7).alias("val"))
+        t = LakeTable(os.path.join(work, "t"), change_feed=True,
+                      feed_preimages=True)
+        t.create(spark, base, key_cols=["key"], n_buckets=2)
+        upd = spark.range(30).select(
+            F.col("id").alias("key"),
+            F.lit("g9").alias("grp"), (F.col("id") + 1).alias("val"),
+            F.lit("u").alias("_op"), (F.col("id") + 10).cast("long")
+             .alias("_seq"))
+        t.merge(spark, upd, batch_id=1)
+        feed = t.changes(spark, from_version=2)
+        p = plan_of(feed_agg_delta(feed, ["grp"], ["val"]))
+        checks = [
+            ("refresh scans only the change-feed delta files",
+             "/changes/" in p and "/data/" not in p),
+            ("map-side partial aggregate before the per-group shuffle",
+             p.count("HashAggregate") >= 2),
+            ("no join anywhere in the delta fold", "Join" not in p),
+            ("no Python anywhere", "EvalPython" not in p),
+        ]
+        return ("query: cdc_incremental_agg_view (feed-delta refresh plan)",
+                p, checks)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def zorder_section(spark, sf_dir: str):
@@ -347,6 +441,8 @@ def main() -> None:
         sections.append(query_section(spark, SF_DIR, name))
     sections.append(gopher_exchange_section(spark, SF_DIR))
     sections.append(zorder_section(spark, SF_DIR))
+    sections.append(quantile_histogram_section(spark, SF_DIR))
+    sections.append(incremental_view_section(spark))
 
     out = ["# PLANS.md — physical-plan audit (generated by scripts/explain_audit.py)",
            "",
