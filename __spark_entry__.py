@@ -2743,11 +2743,42 @@ def q_funnel_steps(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_scd2_temporal_join(spark, sf_dir):
+    """Fact->dimension temporal lookup against the SCD2 history
+    (operators/scd2.py::scd2_temporal_join): each order probes the user
+    dimension version valid at a deterministic seq point. One key-hash
+    exchange + one carry-forward window — the inequality join the oracle
+    writes never reaches a Spark join node."""
+    from kafka_connect_dynamodb_spark.operators.scd2 import (
+        scd2_history, scd2_temporal_join)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.col("event_id").alias("seq"),
+        "event_type", _op_expr().alias("_op"))
+    hist = scd2_history(ev, ["key"], "seq", ["event_type"]).select(
+        "key", F.col("event_type").alias("dim_event_type"),
+        "valid_from", "valid_to")
+    mod = _t(spark, sf_dir, "events").agg(
+        F.max("event_id") + 1).first()[0]            # 1-row driver scalar
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_custkey").alias("key"),
+        (F.col("o_orderkey") % F.lit(int(mod))).cast("long").alias("fseq"))
+    out = scd2_temporal_join(facts, hist, ["key"], "fseq")
+    return (out.select(
+                "fact_id", "key", "fseq", "dim_event_type",
+                # nullable ints stringified: the driver's pandas fetch
+                # would float64 them (same rule as cdc_scd2_history)
+                F.col("valid_from").cast("string").alias("valid_from"),
+                F.col("valid_to").cast("string").alias("valid_to"))
+               .orderBy("fact_id"))
+
+
 # Gate-rotation candidates: new-this-round operators that keep the full
 # DuckDB oracle contract in the mandatory out-of-gate pytest
 # (tests/test_driver_contract.py) until a gate slot opens next round.
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
+    "scd2_temporal_join": q_scd2_temporal_join,
 }
 
 CANDIDATE_ORACLE_SQL = {
@@ -2775,6 +2806,24 @@ CANDIDATE_ORACLE_SQL = {
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id
         ORDER BY u.user_id""",
+    "scd2_temporal_join": f"""
+        WITH ev AS (SELECT user_id AS key, event_id AS seq, event_type,
+                           {_OP_SQL} AS op FROM events),
+        h AS (SELECT key, event_type AS dim_event_type, seq AS valid_from,
+                     lead(seq) OVER (PARTITION BY key ORDER BY seq)
+                       AS valid_to, op
+              FROM ev),
+        hist AS (SELECT key, dim_event_type, valid_from, valid_to
+                 FROM h WHERE op <> 'd'),
+        f AS (SELECT o_orderkey AS fact_id, o_custkey AS key,
+                     o_orderkey % (SELECT max(event_id) + 1 FROM events)
+                       AS fseq FROM orders)
+        SELECT f.fact_id, f.key, f.fseq, h.dim_event_type,
+               CAST(h.valid_from AS VARCHAR) AS valid_from,
+               CAST(h.valid_to AS VARCHAR) AS valid_to
+        FROM f LEFT JOIN hist h ON f.key = h.key AND f.fseq >= h.valid_from
+             AND (h.valid_to IS NULL OR f.fseq < h.valid_to)
+        ORDER BY f.fact_id""",
 }
 
 

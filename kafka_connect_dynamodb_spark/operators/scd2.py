@@ -57,6 +57,63 @@ def scd2_history(events: DataFrame, key_cols: Sequence[str], seq_col: str,
             .withColumn(IS_CURRENT, F.col(VALID_TO).isNull()))
 
 
+def scd2_temporal_join(facts: DataFrame, history: DataFrame,
+                       key_cols: Sequence[str], fact_seq_col: str, *,
+                       how: str = "left") -> DataFrame:
+    """Enrich fact rows with the dimension version valid at the fact's
+    sequence point: the history row with ``valid_from <= fact_seq`` and
+    (``valid_to`` NULL or ``fact_seq < valid_to``) — THE consumer query of
+    an SCD2 dimension (every warehouse fact/dim temporal lookup).
+
+    Spark-first plan: the naive formulation is an inequality theta-join
+    (BroadcastNestedLoopJoin at best, quadratic per key at 100 TB). Here
+    versions and facts union onto ONE key-hash exchange; a single
+    ``last(ignorenulls)`` event-order window carries each key's most
+    recent version (whole row as one struct, same rationale as
+    operators/joins.py::asof_join) to each fact, and the carried
+    ``valid_to`` re-checks the exclusive upper bound — so a fact falling
+    in a post-delete gap matches nothing. One shuffle, linear state, no
+    range predicate ever reaches a join.
+
+    ``how``: 'left' keeps unmatched facts with NULL dimension columns;
+    'inner' drops them. Dimension payload = every history column except
+    the keys (including ``valid_from``/``valid_to``/``is_current``);
+    names must not collide with fact columns.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = list(key_cols)
+    dpay = [c for c in history.columns if c not in keys]
+    clash = set(dpay) & set(facts.columns)
+    if clash:
+        raise ValueError(f"dimension columns collide with fact columns: "
+                         f"{clash}")
+    # decimal(38,0) holds any integral seq exactly, including the stream's
+    # BigInteger shard sequence numbers (lake/table.py:51 uses the same)
+    seq_t = "decimal(38,0)"
+    lhs = (facts.withColumn("_t", F.col(fact_seq_col).cast(seq_t))
+                .withColumn("_is_fact", F.lit(1)))
+    rhs = (history.select(*keys,
+                          F.col(VALID_FROM).cast(seq_t).alias("_t"),
+                          F.struct(*dpay).alias("_dim"))
+                  .withColumn("_is_fact", F.lit(0)))
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+    # versions sort BEFORE facts at equal _t => inclusive valid_from
+    w = (Window.partitionBy(*keys)
+               .orderBy(F.col("_t"), F.col("_is_fact"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("_dim", F.last("_dim", ignorenulls=True).over(w))
+    valid = (F.col("_dim").isNotNull()
+             & (F.col("_dim")[VALID_TO].isNull()
+                | (F.col("_t") < F.col("_dim")[VALID_TO])))
+    out = (u.filter(F.col("_is_fact") == 1)
+            .withColumn("_dim", F.when(valid, F.col("_dim"))))
+    if how == "inner":
+        out = out.filter(F.col("_dim").isNotNull())
+    return out.select(*[F.col(c) for c in facts.columns],
+                      *[F.col(f"_dim.{c}").alias(c) for c in dpay])
+
+
 def scd2_apply_increment(history: DataFrame, increment: DataFrame,
                          key_cols: Sequence[str], seq_col: str,
                          payload_cols: Sequence[str], *, op_col: str = "_op",

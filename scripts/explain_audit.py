@@ -282,6 +282,18 @@ QUERY_AUDIT = {
             ("single user-keyed exchange shared by all step windows",
              "hashpartitioning(u#"),
         ],
+        # r7c candidate (operators/scd2.py): the fact->version temporal
+        # lookup rides the SAME union+window shape as asof_join — the
+        # textbook inequality join (nested-loop, quadratic per key) never
+        # appears; the only join driver-side is none at all.
+        "scd2_temporal_join": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("inequality never reaches a join (no nested loop)",
+             "BroadcastNestedLoopJoin", False),
+            ("single carry-forward window over the key exchange",
+             "Window"),
+        ],
         # r7c (operators/scd2.py): full version history as one keyed
         # exchange + one lead window; the delete filter runs AFTER the
         # lead so deletes still close the prior version — no joins, no

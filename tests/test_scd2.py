@@ -88,3 +88,85 @@ def test_empty_increment_is_identity(spark):
     hist = scd2_history(_ev(spark, EVENTS), ["key"], "seq", ["val"])
     out = scd2_apply_increment(hist, _ev(spark, []), ["key"], "seq", ["val"])
     assert _rows(out) == _rows(hist)
+
+
+# ---------------------------------------------------------------- temporal join
+
+def _tjoin_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_temporal_join_semantics(spark):
+    """Boundary table for the fact->version lookup: inclusive valid_from,
+    exclusive valid_to, post-delete gap matches nothing, pre-first-version
+    matches nothing, open version matches everything after it."""
+    from kafka_connect_dynamodb_spark.operators.scd2 import (
+        scd2_history, scd2_temporal_join)
+    hist = scd2_history(_ev(spark, EVENTS), ["key"], "seq", ["val"])
+    facts = spark.createDataFrame(
+        [(1, 9), (1, 10), (1, 20), (1, 29), (1, 30), (1, 99),
+         (2, 20), (2, 21), (2, 25), (2, 31),
+         (4, 50),
+         (5, 23), (5, 33), (5, 34), (5, 35)],
+        "key long, fseq long")
+    out = scd2_temporal_join(facts, hist.select("key", "val", "valid_from",
+                                                "valid_to"),
+                             ["key"], "fseq")
+    got = {(r.key, r.fseq): r.val for r in out.collect()}
+    assert got == {
+        (1, 9): None,      # before the first version
+        (1, 10): "a1",     # inclusive valid_from
+        (1, 20): "a2",     # boundary: old closes, new opens
+        (1, 29): "a2",
+        (1, 30): "a3", (1, 99): "a3",   # open version
+        (2, 20): "b1",
+        (2, 21): None,     # delete at 21: exclusive upper bound
+        (2, 25): None,     # post-delete gap
+        (2, 31): "b3",     # re-insert
+        (4, 50): None,     # key never had a version
+        (5, 23): "e1", (5, 33): "e2",
+        (5, 34): None, (5, 35): None,   # dead key stays dead
+    }
+    inner = scd2_temporal_join(facts, hist.select("key", "val", "valid_from",
+                                                  "valid_to"),
+                               ["key"], "fseq", how="inner")
+    assert inner.count() == sum(v is not None for v in got.values())
+
+
+def test_temporal_join_matches_inequality_join(spark):
+    """The one-exchange window formulation == the textbook inequality join
+    on generated data (the plan we refuse to run at scale is still the
+    semantic oracle)."""
+    from kafka_connect_dynamodb_spark.operators.scd2 import (
+        scd2_history, scd2_temporal_join)
+    from kafka_connect_dynamodb_spark.sources.generator import change_events
+    ev = (change_events(spark, 40, 400)
+          .select(F.get_json_object("keys", "$.repo.s").alias("key"),
+                  F.col("seq_no").cast("decimal(38,0)").alias("seq"),
+                  F.sha2(F.coalesce("new_image", F.lit("")), 256).alias("val"),
+                  F.when(F.col("event_name") == "REMOVE", "d")
+                   .otherwise("u").alias("_op")))
+    hist = scd2_history(ev, ["key"], "seq", ["val"]).select(
+        "key", "val", "valid_from", "valid_to")
+    facts = ev.select("key", (F.col("seq") + 1).alias("fseq")).distinct()
+    got = scd2_temporal_join(facts, hist, ["key"], "fseq")
+    hist.createOrReplaceTempView("h")
+    facts.createOrReplaceTempView("f")
+    exp = spark.sql("""
+        SELECT f.key, f.fseq, h.val, h.valid_from, h.valid_to
+        FROM f LEFT JOIN h ON f.key = h.key AND f.fseq >= h.valid_from
+             AND (h.valid_to IS NULL OR f.fseq < h.valid_to)""")
+    assert _tjoin_rows(got) == _tjoin_rows(exp.select(*got.columns))
+
+
+def test_temporal_join_rejects_collisions_and_bad_how(spark):
+    import pytest as _pytest
+    from kafka_connect_dynamodb_spark.operators.scd2 import (
+        scd2_history, scd2_temporal_join)
+    hist = scd2_history(_ev(spark, EVENTS), ["key"], "seq", ["val"])
+    facts = spark.createDataFrame([(1, 10, "x")], "key long, fseq long, val string")
+    with _pytest.raises(ValueError, match="collide"):
+        scd2_temporal_join(facts, hist, ["key"], "fseq")
+    with _pytest.raises(ValueError, match="how"):
+        scd2_temporal_join(facts.drop("val"), hist, ["key"], "fseq",
+                           how="full")
