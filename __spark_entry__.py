@@ -2776,9 +2776,106 @@ def q_scd2_temporal_join(spark, sf_dir):
 # Gate-rotation candidates: new-this-round operators that keep the full
 # DuckDB oracle contract in the mandatory out-of-gate pytest
 # (tests/test_driver_contract.py) until a gate slot opens next round.
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540; operators/similarity.py::semdedup): cluster the
+    embeddings into 8 seeded cells, rank members far-from-centroid-first
+    (centroid_cos ASC, the paper's keep rule), drop members with pairwise
+    cosine >= 0.36 to an earlier member of the same cell. Cell assignment
+    and both cosines are pure fold projections; the quadratic pair term is
+    cell-bounded. Threshold in the corpus's natural similarity band, like
+    embedding_near_dup_pairs' 0.36."""
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        ivf_centroid, semdedup)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [ivf_centroid(c, 64, seed=7) for c in range(8)]
+    return (semdedup(emb, cents, threshold=0.36)
+            .withColumnRenamed("id", "vec_id")
+            .orderBy("vec_id"))
+
+
+def _seq_sum(terms: list[str]) -> str:
+    """Explicitly left-parenthesized sum: DuckDB evaluates the resulting
+    binary-op tree strictly sequentially, matching Spark's F.aggregate
+    left fold bit-for-bit. (DuckDB's list_reduce is NOT a strict
+    sequential fold — measured: it disagrees with a left fold by 1 ulp at
+    some list lengths, e.g. 8 and 64 — so any oracle that EMITS or RANKS
+    on a folded float must unroll the sum instead of using list_reduce.)"""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _dot_sql_seq(a: str, vals: list[float]) -> str:
+    """Sequential-order dot of column list `a` with a literal vector.
+    Literals go through a VARCHAR cast: DuckDB parses bare decimal
+    literals as DECIMAL(w,s), and its DECIMAL->DOUBLE cast is NOT
+    correctly rounded (measured 1-ulp-high on 17-digit reprs), while
+    VARCHAR->DOUBLE is strtod, correctly rounded — bit-identical to the
+    Python/Spark literal."""
+    return _seq_sum([f"list_extract({a}, {i + 1}) * '{float(v)!r}'::DOUBLE"
+                     for i, v in enumerate(vals)])
+
+
+def _norm_sql_seq(a: str, dim: int = 64) -> str:
+    """Sequential-order L2 norm of column list `a`."""
+    return "sqrt(" + _seq_sum(
+        [f"list_extract({a}, {i}) * list_extract({a}, {i})"
+         for i in range(1, dim + 1)]) + ")"
+
+
+def _semdedup_oracle(threshold: float = 0.36, n_cells: int = 8,
+                     seed: int = 7) -> str:
+    """SQL mirror of q_semdedup_prune: same argmin cell (first-wins ties),
+    same fold-order cosines (IEEE-exact across engines), same
+    (centroid_cos, vec_id) ranking, same earlier-owner drop rule.
+    centroid_cos is both EMITTED and the rank key, so every float that
+    feeds it is built with the _seq_* helpers (strict sequential order,
+    bit-identical to Spark's fold) rather than list_reduce."""
+    import math
+    from kafka_connect_dynamodb_spark.operators.similarity import (
+        ivf_centroid)
+    cents = [ivf_centroid(c, 64, seed) for c in range(n_cells)]
+    d_exprs = []
+    for c in cents:
+        terms = [f"(list_extract(v, {i + 1}) - '{float(x)!r}'::DOUBLE) * "
+                 f"(list_extract(v, {i + 1}) - '{float(x)!r}'::DOUBLE)"
+                 for i, x in enumerate(c)]
+        d_exprs.append(_seq_sum(terms))
+    ds = "[" + ", ".join(d_exprs) + "]"
+    # norm of each literal centroid: python left fold == Spark's fold
+    cc_arms = []
+    for i, c in enumerate(cents):
+        nc = 0.0
+        for x in c:
+            nc += x * x
+        nc = math.sqrt(nc)
+        cc_arms.append(f"WHEN {i + 1} THEN {_dot_sql_seq('v', c)} / "
+                       f"({_norm_sql_seq('v')} * '{nc!r}'::DOUBLE)")
+    cc = "CASE cell " + " ".join(cc_arms) + " END"
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id, v,
+                     list_position(ds, list_aggregate(ds, 'min')) AS cell
+              FROM (SELECT vec_id, v, {ds} AS ds FROM v)),
+        c AS (SELECT vec_id, v, cell, {cc} AS centroid_cos FROM a),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cell
+                       ORDER BY centroid_cos, vec_id) AS rk FROM c),
+        d AS (SELECT DISTINCT y.vec_id FROM r x JOIN r y
+              ON x.cell = y.cell AND x.rk < y.rk
+              WHERE {_cos_sql('x.v', 'y.v')} >= {threshold})
+        SELECT c.vec_id, c.cell, c.centroid_cos,
+               (d.vec_id IS NULL) AS keep
+        FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id"""
+
+
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
     "scd2_temporal_join": q_scd2_temporal_join,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 CANDIDATE_ORACLE_SQL = {
@@ -2824,6 +2921,7 @@ CANDIDATE_ORACLE_SQL = {
         FROM f LEFT JOIN hist h ON f.key = h.key AND f.fseq >= h.valid_from
              AND (h.valid_to IS NULL OR f.fseq < h.valid_to)
         ORDER BY f.fact_id""",
+    "semdedup_prune": _semdedup_oracle(),
 }
 
 

@@ -635,3 +635,57 @@ def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
     scored = cand.select(F.col(id_col), F.col("cell"),
                          total.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def semdedup(df: DataFrame, centroids: list[list[float]], *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             threshold: float = 0.95) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then prune near-duplicates
+    WITHIN each cluster, keeping the member with the lowest cosine
+    similarity to its centroid among each duplicate set (the paper's
+    keep-far-from-centroid rule — it preserves the cluster's diversity).
+
+    Deterministic formulation: rank cluster members by
+    (centroid_cos ASC, id ASC); a member is dropped iff some EARLIER
+    member of the same cell has pairwise cosine >= threshold (sticky
+    earlier-owner, the same convention as the MinHash/LSH owner pairs).
+    Order-free, partitioning-independent, exactly SQL-expressible.
+
+    Returns one verdict row per input: (id, cell, centroid_cos, keep).
+
+    Scale shape: cell assignment and centroid_cos are pure fold
+    projections (``ivf_assign``); the ranking window and the pair
+    self-join both key on the cell, so the quadratic term is bounded by
+    the largest cluster — at 100 TB pick k (the centroid count, e.g. via
+    ``kmeans_fit``) so clusters stay ~1e4, exactly as the paper does
+    (k=50k on LAION). Cells are independent; nothing global. For
+    degenerate corpora where one cell stays huge, pre-split it with
+    ``hyperplane_signature`` (the banded ``embedding_near_dup_pairs``
+    already certifies that path).
+    """
+    k = len(centroids)
+    cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
+    base = (df.select(F.col(id_col).alias("id"), v.alias("v"))
+              .withColumn("cell", ivf_assign(F.col("v"), centroids))
+              .withColumn("centroid_cos",
+                          cosine(F.col("v"),
+                                 F.element_at(cent_mat, F.col("cell")))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cell").orderBy("centroid_cos", "id")
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("cell", F.col("rk").alias("rk_a"),
+                      F.col("v").alias("v_a"))
+    b = ranked.select("cell", F.col("rk").alias("rk_b"),
+                      F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dropped = (a.join(b, "cell")
+                .filter(F.col("rk_a") < F.col("rk_b"))
+                .filter(cosine(F.col("v_a"), F.col("v_b"))
+                        >= F.lit(threshold))
+                .select(F.col("id_b").alias("id")).distinct())
+    return (ranked.join(dropped.withColumn("_dropped", F.lit(True)),
+                        "id", "left")
+                  .select("id", "cell", "centroid_cos",
+                          F.col("_dropped").isNull().alias("keep")))

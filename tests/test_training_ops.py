@@ -936,3 +936,41 @@ def test_gopher_quality_rules_hand_computed(spark):
         min_alpha_word_frac=0.0, min_stop_hits=0, max_bullet_line_frac=1.0,
         max_ellipsis_line_frac=1.0, max_symbol_word_ratio=10.0).collect()}
     assert relax[2] and relax[4] and relax[5]
+
+
+def test_semdedup_keeps_far_from_centroid_member(spark):
+    """SemDeDup keep rule: within a duplicate set, survival goes to the
+    member ranked first by (centroid_cos ASC, id ASC) — the paper's
+    keep-far-from-centroid convention; singletons always survive."""
+    # one tight pair near the +x axis, one far-out singleton near +y
+    rows = [
+        (0, [1.0, 0.0]),            # cos to c0=[1,0] is 1.0 (closest)
+        (1, [0.9999, 0.02]),        # near-dup of 0, slightly further out
+        (2, [0.0, 1.0]),            # different cell, singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r.id: r for r in similarity.semdedup(
+        df, cents, threshold=0.99).collect()}
+    assert out[0].cell == 1 and out[1].cell == 1 and out[2].cell == 2
+    # 0 and 1 are mutual near-dups (cos ~0.9998 >= 0.99); the one with the
+    # LOWER centroid cosine (id 1, tilted away from c0) ranks first = kept
+    assert out[1].keep and not out[0].keep
+    assert out[2].keep                                 # singleton survives
+    # cross-cell near-angle vectors never compare: only same-cell pairs
+
+
+def test_semdedup_partitioning_independent(spark):
+    """Verdicts are a pure function of the data — unchanged under an
+    adversarial repartition (the shuffle-order trap for window+join ops)."""
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    a = {(r.id, r.cell, r.keep)
+         for r in similarity.semdedup(df, cents, threshold=0.5).collect()}
+    b = {(r.id, r.cell, r.keep)
+         for r in similarity.semdedup(df.repartition(7, "embedding"),
+                                      cents, threshold=0.5).collect()}
+    assert a == b
