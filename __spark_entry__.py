@@ -2872,10 +2872,102 @@ def _semdedup_oracle(threshold: float = 0.36, n_cells: int = 8,
         ORDER BY c.vec_id"""
 
 
+def q_ccnet_bigram_buckets(spark, sf_dir):
+    """CCNet LM pipeline end-to-end (Wenzek et al. 2020; operators/
+    text.py::bigram_lm_nll + ccnet_buckets): a deterministic 5% slice
+    (salt 'lm2') trains a bigram stupid-backoff LM; every other document
+    is scored by mean negative log-score (sorted-fold, float32-emitted:
+    JVM/libm ln disagree in the last ulp on bigram-ratio arguments)
+    and cut into per-language head/middle/tail perplexity terciles.
+    Threshold 3.55 sits mid-band (3.15-3.90 at sf0.001) so both low_nll
+    branches are exercised."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        hash_int, threshold_for)
+    from kafka_connect_dynamodb_spark.operators.text import (
+        bigram_lm_nll, ccnet_buckets)
+    docs = _t(spark, sf_dir, "documents")
+    is_ref = hash_int(F.col("doc_id"), "lm2") < F.lit(threshold_for(0.05))
+    scored = bigram_lm_nll(docs.filter(~is_ref), docs.filter(is_ref),
+                           nll_threshold=3.55)
+    return (ccnet_buckets(scored, docs.select("doc_id", "lang"))
+            .select("doc_id", "lang", "n_tokens", "nll", "low_nll", "bucket")
+            .orderBy("doc_id"))
+
+
+def _ccnet_bigram_oracle(ref_rate: float = 0.05, salt: str = "lm2",
+                         alpha: float = 0.4,
+                         nll_threshold: float = 3.55) -> str:
+    """SQL mirror of q_ccnet_bigram_buckets: same hash split, same
+    stupid-backoff arithmetic (seen -> ln(cb/c1(w1)); unseen ->
+    ln(alpha) literal + add-one unigram; first token unigram), same
+    (w1, w2, v)-sorted per-doc fold, same ntile tercile cut."""
+    import math
+    from kafka_connect_dynamodb_spark.operators.sampling import threshold_for
+    thr = threshold_for(ref_rate)
+    la = f"'{math.log(alpha)!r}'::DOUBLE"
+    bi = ("list_transform(range(1, len(tt)), "
+          "i -> struct_pack(w1 := tt[i], w2 := tt[i + 1]))")
+    return f"""
+        WITH lab AS (SELECT doc_id, lang,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS tt,
+                (CAST('0x' || substr(sha256('{salt}'
+                     || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                 < {thr}) AS is_ref
+              FROM documents),
+        rtok AS (SELECT unnest(tt) AS token FROM lab WHERE is_ref),
+        refc1 AS (SELECT token, count(*) AS c1 FROM rtok GROUP BY token),
+        refcb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb
+                  FROM (SELECT unnest({bi}) AS p FROM lab WHERE is_ref)
+                  GROUP BY 1, 2),
+        scal AS (SELECT (SELECT count(*) FROM rtok)
+                        + (SELECT count(DISTINCT token)
+                           FROM (SELECT unnest(tt) AS token FROM lab)) AS tv),
+        dbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+                FROM (SELECT doc_id, unnest({bi}) AS p
+                      FROM lab WHERE NOT is_ref)
+                GROUP BY 1, 2, 3),
+        jbi AS (SELECT dbi.doc_id,
+                       struct_pack(w1 := dbi.w1, w2 := dbi.w2,
+                           v := CAST(tf AS DOUBLE) * (CASE
+                                WHEN refcb.cb IS NOT NULL
+                                THEN ln(CAST(refcb.cb AS DOUBLE)
+                                        / CAST(u1.c1 AS DOUBLE))
+                                ELSE {la} + ln(CAST(coalesce(u2.c1, 0) + 1
+                                               AS DOUBLE) / scal.tv)
+                                END)) AS s
+                FROM dbi LEFT JOIN refcb USING (w1, w2)
+                         LEFT JOIN refc1 u1 ON u1.token = dbi.w1
+                         LEFT JOIN refc1 u2 ON u2.token = dbi.w2, scal),
+        jfst AS (SELECT doc_id,
+                        struct_pack(w1 := '', w2 := tt[1],
+                            v := ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE)
+                                    / scal.tv)) AS s
+                 FROM lab LEFT JOIN refc1 ON refc1.token = tt[1], scal
+                 WHERE NOT is_ref),
+        agg AS (SELECT doc_id,
+                       list_reduce(list_transform(list_sort(list(s)),
+                                                  x -> x.v),
+                                   (a, b) -> a + b) AS ssum
+                FROM (SELECT doc_id, s FROM jbi
+                      UNION ALL SELECT doc_id, s FROM jfst)
+                GROUP BY doc_id),
+        sc AS (SELECT agg.doc_id, lab.lang,
+                      len(lab.tt) AS n_tokens,
+                      CAST((-ssum) / CAST(len(lab.tt) AS DOUBLE)
+                           AS REAL) AS nll
+               FROM agg JOIN lab USING (doc_id))
+        SELECT doc_id, lang, n_tokens, nll,
+               nll <= {nll_threshold} AS low_nll,
+               ['head', 'middle', 'tail'][ntile(3) OVER (
+                   PARTITION BY lang ORDER BY nll, doc_id)] AS bucket
+        FROM sc ORDER BY doc_id"""
+
+
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
     "scd2_temporal_join": q_scd2_temporal_join,
     "semdedup_prune": q_semdedup_prune,
+    "ccnet_bigram_buckets": q_ccnet_bigram_buckets,
 }
 
 CANDIDATE_ORACLE_SQL = {
@@ -2922,6 +3014,7 @@ CANDIDATE_ORACLE_SQL = {
              AND (h.valid_to IS NULL OR f.fseq < h.valid_to)
         ORDER BY f.fact_id""",
     "semdedup_prune": _semdedup_oracle(),
+    "ccnet_bigram_buckets": _ccnet_bigram_oracle(),
 }
 
 

@@ -244,6 +244,132 @@ def unigram_lm_nll(df: DataFrame, ref: DataFrame, *,
         (nll <= F.lit(nll_threshold)).alias("low_nll"))
 
 
+def _doc_bigrams(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, tf) — per-document bigram frequencies over lowercase
+    whitespace tokens. One explode of the zipped shifted slices + one
+    map-side-combined groupBy; docs under 2 tokens contribute no rows."""
+    t = tokens(F.lower(F.col(text_col)))
+    n = F.size(t)
+    pairs = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+              .select("id", "p.w1", "p.w2")
+              .groupBy("id", "w1", "w2").agg(F.count("*").alias("tf")))
+
+
+def bigram_lm_nll(df: DataFrame, ref: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  alpha: float = 0.4, nll_threshold: float = 6.0,
+                  stats: tuple[int, int] | None = None) -> DataFrame:
+    """CCNet-style LM quality filter with a BIGRAM stupid-backoff model
+    (Brants et al. 2007): train bigram + unigram counts on the ``ref``
+    corpus, score every document of ``df`` by mean negative log-score
+
+        S(w2 | w1) = c_ref(w1 w2) / c_ref(w1)        if the bigram was seen
+                   = alpha * (c_ref(w2) + 1)/(T + V)  otherwise (backoff to
+                                                      the add-one unigram)
+
+    with the document's first token scored by the unigram alone. The
+    per-token denominators make nll comparable across lengths;
+    ``low_nll`` flags the keep side, like :func:`unigram_lm_nll`.
+
+    Scale shape: the trained model (distinct ref bigrams + unigrams) is
+    small next to the corpus and BROADCASTS into both scoring joins; the
+    document side is one bigram explode bounded by map-side combine at
+    distinct (doc, w1, w2) triples, plus the unigram first-token pass.
+    The per-doc sum is the same sorted ordered fold as the unigram
+    operator — struct key (w1, w2, v) — so it is reproducible across
+    runs and partitionings. Unlike the unigram path, the bigram ratio
+    ``ln(cb/c1)`` hits arguments where JVM ``Math.log`` and libm ``log``
+    disagree in the last ulp (measured: ln(3/66) differs engine-to-
+    engine), so ``nll`` is EMITTED at float32 and the keep flag compares
+    the float32 value — the same ulp-absorption convention as
+    :func:`tf_idf_top_terms` and the DSIR weights. ``ln(alpha)`` is
+    embedded as a Python-computed literal so both engines use the
+    identical constant.
+    """
+    import math
+
+    if stats is None:
+        stats = lm_corpus_stats(df, ref, text_col=text_col)
+    t_total, vocab = stats
+    log_alpha = math.log(alpha)
+    uni_lp = lambda c: F.log(                                  # noqa: E731
+        (F.coalesce(c, F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(t_total + vocab)))
+
+    ref_uni = (ref.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("c1")))
+    ref_bi = (_doc_bigrams(ref, id_col=id_col, text_col=text_col)
+              .groupBy("w1", "w2").agg(F.sum("tf").alias("cb")))
+
+    # bigram terms: seen -> ln(cb / c1(w1)); unseen -> ln(alpha) + uni(w2)
+    doc_bi = _doc_bigrams(df, id_col=id_col, text_col=text_col)
+    scored_bi = (doc_bi
+                 .join(F.broadcast(ref_bi), ["w1", "w2"], "left")
+                 .join(F.broadcast(ref_uni.withColumnRenamed("token", "w1")
+                                          .withColumnRenamed("c1", "c1_w1")),
+                       "w1", "left")
+                 .join(F.broadcast(ref_uni.withColumnRenamed("token", "w2")
+                                          .withColumnRenamed("c1", "c1_w2")),
+                       "w2", "left"))
+    ln_s = F.when(F.col("cb").isNotNull(),
+                  F.log(F.col("cb").cast("double")
+                        / F.col("c1_w1").cast("double"))) \
+            .otherwise(F.lit(log_alpha) + uni_lp(F.col("c1_w2")))
+    bi_terms = scored_bi.select(
+        "id", F.struct(F.col("w1"), F.col("w2"),
+                       (F.col("tf").cast("double") * ln_s).alias("v"))
+        .alias("s"))
+
+    # first-token unigram term, one per doc ('' as the w1 sentinel: a real
+    # '' token only exists in an empty doc, which has no bigrams to collide)
+    first_tok = df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(tokens(F.lower(F.col(text_col))), 1).alias("w2"),
+        token_count(F.lower(F.col(text_col))).alias("n_tokens"))
+    first_terms = (first_tok
+                   .join(F.broadcast(ref_uni.withColumnRenamed("token", "w2")),
+                         "w2", "left")
+                   .select("id", F.struct(F.lit("").alias("w1"),
+                                          F.col("w2"),
+                                          uni_lp(F.col("c1")).alias("v"))
+                           .alias("s")))
+
+    n_toks = first_tok.select("id", "n_tokens")
+    per_doc = (bi_terms.unionByName(first_terms)
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list("s")).alias("arr")))
+    total = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["v"])
+    nll = ((-total) / F.col("n_tokens").cast("double")).cast("float")
+    return (per_doc.join(n_toks, "id")
+            .select(F.col("id").alias(id_col), "n_tokens", nll.alias("nll"),
+                    (nll <= F.lit(nll_threshold)).alias("low_nll")))
+
+
+def ccnet_buckets(scored: DataFrame, langs: DataFrame, *,
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  nll_col: str = "nll") -> DataFrame:
+    """CCNet head/middle/tail split: within each language, rank documents
+    by LM score and cut into perplexity terciles (CCNet §4.4 — 'head' is
+    the lowest-perplexity third, the cleanest slice). ntile(3) over
+    (nll asc, id asc) — the float feeds only an ORDER BY with an exact
+    integer tiebreak, so bucket membership is deterministic given the
+    engine-stable float32 nll upstream. One ranking window per language partition;
+    no global sort, no driver collection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.col(nll_col), F.col(id_col))
+    named = F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                 F.lit("tail")), F.ntile(3).over(w))
+    # passthrough of every scored column keeps the caller on ONE lineage
+    # (selecting back into the scored frame would recompute the LM twice)
+    return (scored.join(langs.select(id_col, lang_col), id_col)
+                  .select(*scored.columns, lang_col)
+                  .withColumn("bucket", named))
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str], *,
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75,

@@ -294,6 +294,28 @@ QUERY_AUDIT = {
             ("single carry-forward window over the key exchange",
              "Window"),
         ],
+        # r7d candidate (operators/similarity.py): SemDeDup — cell
+        # assignment and centroid cosine are fold projections; the
+        # quadratic pair term and the ranking window both key on the
+        # cell, so nothing global ever materializes.
+        "semdedup_prune": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product (pair term is a cell equi-join)",
+             "CartesianProduct", False),
+            ("pair self-join keyed on the cell", "hashpartitioning(cell#"),
+            ("ranking window over the cell exchange", "Window"),
+        ],
+        # r7d candidate (operators/text.py): bigram stupid-backoff LM —
+        # the trained model broadcasts into every scoring join; the doc
+        # side is one bigram explode + map-side-combined counts + the
+        # sorted per-doc fold; tercile cut is one lang window.
+        "ccnet_bigram_buckets": [
+            ("no Python anywhere", "EvalPython", False),
+            ("model joins all broadcast (no corpus-vs-corpus shuffle "
+             "join)", "SortMergeJoin", False),
+            ("broadcast scoring joins", "BroadcastHashJoin"),
+            ("tercile cut is a window, not a global sort", "Window"),
+        ],
         # r7c (operators/scd2.py): full version history as one keyed
         # exchange + one lead window; the delete filter runs AFTER the
         # lead so deletes still close the prior version — no joins, no

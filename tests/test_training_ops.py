@@ -974,3 +974,69 @@ def test_semdedup_partitioning_independent(spark):
          for r in similarity.semdedup(df.repartition(7, "embedding"),
                                       cents, threshold=0.5).collect()}
     assert a == b
+
+
+def test_bigram_lm_nll_matches_python_replica(spark):
+    """Stupid-backoff scoring (seen bigram -> ratio; unseen -> alpha *
+    add-one unigram; first token unigram) pinned against a naive dict
+    replica, bit-for-bit — same fold order, same literals."""
+    import math
+    ref_rows = [(100, "a b a b c"), (101, "a a b")]
+    doc_rows = [(0, "a b c"), (1, "c a zz"), (2, "solo"), (3, "")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bigram_lm_nll(
+        docs, ref, alpha=0.4, nll_threshold=3.0).collect()}
+
+    # python replica
+    def toks(s):
+        return s.strip().lower().split() if s.strip() else [""]
+    c1, cb, t_total = {}, {}, 0
+    for _, s in ref_rows:
+        tt = toks(s)
+        t_total += len(tt)
+        for w in tt:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(tt, tt[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    vocab = set()
+    for _, s in ref_rows + doc_rows:
+        vocab.update(toks(s))
+    tv = t_total + len(vocab)
+    la = math.log(0.4)
+    uni = lambda w: math.log((c1.get(w, 0) + 1) / tv)
+    for did, s in doc_rows:
+        tt = toks(s)
+        # fold in (w1, w2) sorted order, exactly like the operator
+        terms = [("", tt[0], uni(tt[0]))]
+        bi = {}
+        for a, b in zip(tt, tt[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        for (a, b), tf in bi.items():
+            if (a, b) in cb:
+                v = tf * math.log(cb[(a, b)] / c1[a])
+            else:
+                v = tf * (la + uni(b))
+            terms.append((a, b, v))
+        acc = 0.0
+        for _, _, v in sorted(terms, key=lambda x: (x[0], x[1], x[2])):
+            acc += v
+        import struct as _st
+        nll = _st.unpack("f", _st.pack("f", -acc / len(tt)))[0]  # float32
+        r = out[did]
+        assert r.n_tokens == len(tt), (did, r.n_tokens)
+        assert r.nll == nll, (did, r.nll, nll)
+        assert r.low_nll == (nll <= 3.0)
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)] + [(100, 0.5), (101, 0.7)],
+        "doc_id long, nll double")
+    langs = spark.createDataFrame(
+        [(i, "en") for i in range(9)] + [(100, "fr"), (101, "fr")],
+        "doc_id long, lang string")
+    out = {r.doc_id: r.bucket
+           for r in text.ccnet_buckets(scored, langs).collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert out[100] == "head" and out[101] == "middle"  # ntile on 2 rows
