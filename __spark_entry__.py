@@ -2963,11 +2963,107 @@ def _ccnet_bigram_oracle(ref_rate: float = 0.05, salt: str = "lm2",
         FROM sc ORDER BY doc_id"""
 
 
+# cdc_version_diff builds a REAL LakeTable (cached per sf_dir + process,
+# like the z-order row): customer snapshot = v1, one LWW merge of the
+# events log = v2, then LakeTable.diff(v1, v2) — the churn-pruned semantic
+# diff — is checked against an oracle that recomputes the net effect
+# relationally. Every 3rd event's key shifts +1000 so the row exercises
+# insert, update, delete AND the content-identical-update suppression.
+_DIFF_TABLES: dict = {}
+
+
+def _diff_key_expr():
+    return F.when(F.col("event_id") % 3 == 0,
+                  F.col("user_id") + 1000).otherwise(F.col("user_id"))
+
+
+def _diff_table(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+    if sf_dir in _DIFF_TABLES:
+        return _DIFF_TABLES[sf_dir]
+    from kafka_connect_dynamodb_spark.lake.table import LakeTable
+    work = tempfile.mkdtemp(prefix="diff-row-")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("double").alias("val"))
+    table = LakeTable(os.path.join(work, "t"))
+    table.create(spark, base, key_cols=["key"], n_buckets=4)
+    from kafka_connect_dynamodb_spark.operators.lww import latest_per_key
+    ev = _t(spark, sf_dir, "events").select(
+        _diff_key_expr().alias("key"),
+        F.col("value").cast("double").alias("val"),
+        _op_expr().alias("_op"),
+        F.col("event_id").cast("long").alias("_seq"))
+    # merge()'s contract takes LWW-deduped batches (one row per key)
+    table.merge(spark, latest_per_key(ev, ["key"], ["_seq"]), batch_id=0)
+    _DIFF_TABLES[sf_dir] = table
+    return table
+
+
+def q_cdc_version_diff(spark, sf_dir):
+    """Semantic version diff of a real lakehouse table (lake/table.py::
+    LakeTable.diff): net insert/update/delete per key between the
+    snapshot version and the post-merge version, content-true (an LWW
+    winner rewriting identical content is NOT a change) and read only
+    from buckets whose manifest file sets differ — cost ∝ churn. The
+    pruning property itself is asserted in the plan audit; this row
+    certifies the VALUES against a relational oracle."""
+    t = _diff_table(spark, sf_dir)
+    d = t.diff(spark, from_version=1, to_version=2)
+    return (d.select(
+        "key", "_change",
+        F.col("old.val").alias("old_val"), F.col("new.val").alias("new_val"),
+        F.col("_seq_old").cast("long").alias("seq_old"),
+        F.col("_seq_new").cast("long").alias("seq_new"))
+        .orderBy("key"))
+
+
+_CDC_VERSION_DIFF_ORACLE = f"""
+    WITH w AS (SELECT key, val, op, seq FROM
+               (SELECT CASE WHEN event_id % 3 = 0 THEN user_id + 1000
+                            ELSE user_id END AS key,
+                       value AS val, {_OP_SQL} AS op, event_id AS seq,
+                       row_number() OVER (
+                           PARTITION BY (CASE WHEN event_id % 3 = 0
+                                         THEN user_id + 1000
+                                         ELSE user_id END)
+                           ORDER BY event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+    base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS val
+             FROM customer),
+    j AS (SELECT COALESCE(b.key, w.key) AS key,
+                 b.key IS NOT NULL AS in_base,
+                 w.key IS NOT NULL AS in_w,
+                 b.val AS bval, w.val AS wval, w.op, w.seq
+          FROM base b FULL OUTER JOIN w ON b.key = w.key)
+    SELECT key,
+           CASE WHEN NOT in_base AND op <> 'd' THEN 'insert'
+                WHEN in_base AND op = 'd' THEN 'delete'
+                WHEN in_base AND op <> 'd'
+                     AND bval IS DISTINCT FROM wval THEN 'update'
+                END AS _change,
+           CASE WHEN in_base THEN bval END AS old_val,
+           CASE WHEN op <> 'd' THEN wval END AS new_val,
+           CASE WHEN in_base THEN 0 END AS seq_old,
+           CASE WHEN op <> 'd' THEN seq END AS seq_new
+    FROM j
+    WHERE in_w AND (CASE WHEN NOT in_base AND op <> 'd' THEN 'insert'
+                         WHEN in_base AND op = 'd' THEN 'delete'
+                         WHEN in_base AND op <> 'd'
+                              AND bval IS DISTINCT FROM wval THEN 'update'
+                         END) IS NOT NULL
+    ORDER BY key"""
+
+
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
     "scd2_temporal_join": q_scd2_temporal_join,
     "semdedup_prune": q_semdedup_prune,
     "ccnet_bigram_buckets": q_ccnet_bigram_buckets,
+    "cdc_version_diff": q_cdc_version_diff,
 }
 
 CANDIDATE_ORACLE_SQL = {
@@ -3015,6 +3111,7 @@ CANDIDATE_ORACLE_SQL = {
         ORDER BY f.fact_id""",
     "semdedup_prune": _semdedup_oracle(),
     "ccnet_bigram_buckets": _ccnet_bigram_oracle(),
+    "cdc_version_diff": _CDC_VERSION_DIFF_ORACLE,
 }
 
 

@@ -316,6 +316,15 @@ QUERY_AUDIT = {
             ("broadcast scoring joins", "BroadcastHashJoin"),
             ("tercile cut is a window, not a global sort", "Window"),
         ],
+        # r7d candidate (lake/table.py::diff): churn-pruned semantic
+        # version diff — both sides read ONLY changed buckets (pinned by
+        # the monkeypatch test), then one key-keyed full-outer join.
+        "cdc_version_diff": [
+            ("no Python anywhere", "EvalPython", False),
+            ("no cartesian product", "CartesianProduct", False),
+            ("key-keyed exchange under the full-outer join",
+             "hashpartitioning(key#"),
+        ],
         # r7c (operators/scd2.py): full version history as one keyed
         # exchange + one lead window; the delete filter runs AFTER the
         # lead so deletes still close the prior version — no joins, no

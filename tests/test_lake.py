@@ -309,3 +309,96 @@ def test_merge_rejects_lossy_type_mismatch(spark, tmp_path):
     # table untouched by the rejected batches (only create's commit exists)
     assert table.manifest().version == 1
     assert {r.pk: r.size for r in table.read(spark).collect()}["3"] == 13
+
+
+# ------------------------------------------------------------------ diff
+
+def test_diff_insert_update_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", "v1b", "u", 10),   # update
+                                ("r2", "p1", None, "d", 11),    # delete
+                                ("r3", "p9", "new", "c", 12),   # insert
+                                ("r1", "p2", "v2", "u", 13)]),  # same content
+            batch_id=0)
+    out = {(r.repo, r.path): r for r in
+           t.diff(spark, from_version=1, to_version=2).collect()}
+    assert set(out) == {("r1", "p1"), ("r2", "p1"), ("r3", "p9")}
+    u = out[("r1", "p1")]
+    assert u._change == "update" and u.old.content == "v1" \
+        and u.new.content == "v1b" and u._seq_old == 0 and u._seq_new == 10
+    d = out[("r2", "p1")]
+    assert d._change == "delete" and d.old.content == "v3" and d.new is None
+    i = out[("r3", "p9")]
+    assert i._change == "insert" and i.old is None and i.new.content == "new"
+    # the content-identical LWW winner (r1,p2) is NOT a change
+    # self-diff is empty
+    assert t.diff(spark, from_version=2, to_version=2).count() == 0
+
+
+def test_diff_content_true_across_replace(spark, tmp_path):
+    """replace() resets seqs; a seq-based diff would call every surviving
+    row an update — the content comparison must not."""
+    t = _table(spark, tmp_path)
+    new_state = [("r1", "p1", "v1"),          # identical content, seq resets
+                 ("r2", "p1", "changed"),     # real update
+                 ("r9", "p9", "fresh")]       # insert; (r1,p2) deleted
+    t.replace(spark, spark.createDataFrame(new_state, SCHEMA),
+              key_cols=["repo", "path"], n_buckets=4)
+    out = {(r.repo, r.path): r._change for r in
+           t.diff(spark, from_version=1, to_version=2).collect()}
+    assert out == {("r2", "p1"): "update", ("r9", "p9"): "insert",
+                   ("r1", "p2"): "delete"}
+
+
+def test_diff_reads_only_changed_buckets(spark, tmp_path, monkeypatch):
+    """A one-key commit must diff by reading ONLY that key's bucket on
+    both sides (cost ∝ churn) — pinned by capturing _read_files entries."""
+    t = _table(spark, tmp_path, n_buckets=4)
+    t.merge(spark, _upd(spark, [("r1", "p1", "v1b", "u", 10)]), batch_id=0)
+    m = t.manifest(2)
+    touched = t._bucket_of(spark, m, {"repo": "r1", "path": "p1"})
+    seen = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, schema, entries):
+        seen.append([e["bucket"] for e in entries])
+        return orig(self, spark_, schema, entries)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    rows = t.diff(spark, from_version=1, to_version=2).collect()
+    assert [r._change for r in rows] == ["update"]
+    assert seen and all(set(b) <= {touched} for b in seen)
+
+
+def test_diff_matches_change_feed_net_effect(spark, tmp_path):
+    """diff(v_a, v_b) == the NET effect of replaying the change feed's
+    applied winners over the v_a state — the two change surfaces agree."""
+    t = LakeTable(str(tmp_path / "tbl"), change_feed=True)
+    t.create(spark, spark.createDataFrame(BASE, SCHEMA), ["repo", "path"],
+             n_buckets=4)
+    t.merge(spark, _upd(spark, [("r1", "p1", "a", "u", 10),
+                                ("r3", "p3", "b", "c", 11)]), batch_id=0)
+    t.merge(spark, _upd(spark, [("r1", "p1", "c", "u", 20),
+                                ("r3", "p3", None, "d", 21),
+                                ("r1", "p2", None, "d", 22)]), batch_id=1)
+    diff = {(r.repo, r.path): (r._change,
+                               r.new.content if r.new else None)
+            for r in t.diff(spark, from_version=1, to_version=3).collect()}
+    # naive replay of feed winners (LWW by _seq) over v1 state
+    state = {(r, p): c for r, p, c in BASE}
+    winners = {}
+    for row in t.changes(spark, from_version=2).collect():
+        k = (row.repo, row.path)
+        if k not in winners or int(row._seq) > int(winners[k]._seq):
+            winners[k] = row
+    expect = {}
+    for k, w in winners.items():
+        if w._op == "d":
+            if k in state:
+                expect[k] = ("delete", None)
+        elif k in state:
+            if state[k] != w.content:
+                expect[k] = ("update", w.content)
+        else:
+            expect[k] = ("insert", w.content)
+    assert diff == expect
