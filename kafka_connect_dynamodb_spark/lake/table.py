@@ -130,7 +130,12 @@ def _footer_stats(path: str) -> dict[str, list]:
                 maxs[name] = max(maxs[name], hi)
             else:
                 mins[name], maxs[name] = lo, hi
-    return {c: [mins[c], maxs[c]] for c in mins if c not in bad}
+    out = {c: [mins[c], maxs[c]] for c in mins if c not in bad}
+    # file row count under a reserved key no real column can shadow (only
+    # set if no column claimed the name): drives metadata-only COUNTs
+    if "#rows" not in out:
+        out["#rows"] = md.num_rows
+    return out
 
 
 def _footer_stats_rows(iterator):
@@ -618,6 +623,35 @@ class LakeTable:
         """Time travel by wall-clock: read the table as it was at ``ts_ms``."""
         return self.read(spark, version=self.version_as_of(ts_ms), **kw)
 
+    def count_live(self, spark: SparkSession, *,
+                   version: int | None = None) -> int:
+        """Exact live-row count, answered from manifest stats wherever
+        possible (Iceberg/Delta's metadata-only COUNT(*)): a file whose
+        footer ``_deleted`` min/max is [false,false] contributes its row
+        count with no I/O; [true,true] (all tombstones) contributes zero;
+        only MIXED files — buckets touched by deletes since their last
+        compaction — are scanned, and the scan reads the one boolean
+        column. At 100 TB steady state the untouched majority of buckets
+        resolves driver-side; cost ∝ tombstone churn, not table size."""
+        m = self.manifest(version)
+        total = 0
+        residual = []
+        for e in m.files:
+            st = e.get("stats") or {}
+            nr = st.get("#rows")
+            dmm = st.get("_deleted")
+            if nr is not None and dmm == [False, False]:
+                total += int(nr)
+            elif nr is not None and dmm == [True, True]:
+                continue
+            else:
+                residual.append(e)
+        if residual:
+            sch = T.StructType([m.schema()["_deleted"]])
+            total += (self._read_files(spark, sch, residual)
+                          .filter(~F.col("_deleted")).count())
+        return total
+
     def diff(self, spark: SparkSession, *, from_version: int,
              to_version: int | None = None) -> DataFrame:
         """Semantic row diff between two committed versions (Delta
@@ -703,6 +737,14 @@ class LakeTable:
         lits = {c: F.lit(key_values[c]).cast(sch[c].dataType)
                 for c in m.key_cols}
         entries = [e for e in m.files if e["bucket"] == bucket]
+        # stats-prune WITHIN the bucket too: hash-scattered keys leave
+        # min/max wide on freshly-merged files (no skip, never wrong), but
+        # a bucket compacted with sort_cols/zorder on the key has tight
+        # per-file ranges — the lookup then opens a single file
+        entries = [e for e in entries
+                   if all(_file_may_match(e.get("stats") or {}, c, "==",
+                                          key_values[c])
+                          for c in m.key_cols)]
         df = self._read_files(spark, sch, entries)
         for c in m.key_cols:
             df = df.filter(F.col(c) == lits[c])

@@ -402,3 +402,71 @@ def test_diff_matches_change_feed_net_effect(spark, tmp_path):
         else:
             expect[k] = ("insert", w.content)
     assert diff == expect
+
+
+# ------------------------------------------------------- metadata counts
+
+def test_count_live_metadata_only_when_clean(spark, tmp_path, monkeypatch):
+    """All-live files resolve COUNT from manifest stats with zero scans."""
+    t = _table(spark, tmp_path)
+    calls = []
+    monkeypatch.setattr(LakeTable, "_read_files",
+                        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(
+                            AssertionError("scanned a clean table")))
+    assert t.count_live(spark) == 3
+    assert not calls
+
+
+def test_count_live_scans_only_mixed_files(spark, tmp_path, monkeypatch):
+    """After a delete, only files of touched buckets (mixed live/tombstone)
+    are scanned; the count stays exact."""
+    t = _table(spark, tmp_path, n_buckets=4)
+    t.merge(spark, _upd(spark, [("r2", "p1", None, "d", 11),
+                                ("r3", "p9", "new", "c", 12)]), batch_id=0)
+    expect = t.read(spark).count()
+    seen = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, schema, entries):
+        seen.extend(entries)
+        return orig(self, spark_, schema, entries)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    assert t.count_live(spark) == expect == 3
+    # the residual scan covers strictly fewer files than the manifest
+    assert len(seen) < len(t.manifest().files)
+    # and every scanned file really is stats-ambiguous on _deleted
+    for e in seen:
+        assert (e.get("stats") or {}).get("_deleted") != [False, False]
+
+
+def test_count_live_after_tombstone_compaction(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(spark, _upd(spark, [("r1", "p1", None, "d", 11)]), batch_id=0)
+    assert t.count_live(spark) == 2
+    t.compact(spark, drop_tombstones_below_seq=100)
+    assert t.count_live(spark) == 2
+    assert t.count_live(spark, version=1) == 3   # time travel still exact
+
+
+def test_read_key_stats_pruned_after_zorder(spark, tmp_path, monkeypatch):
+    """On a key-z-ordered single-bucket table, a point lookup must open
+    fewer files than the bucket holds (tight per-file key ranges)."""
+    rows = [(i, f"v{i}") for i in range(256)]
+    t = LakeTable(str(tmp_path / "tbl"))
+    t.create(spark, spark.createDataFrame(rows, "k long, content string"),
+             ["k"], n_buckets=1)
+    t.compact(spark, zorder_cols=["k"], zorder_files_per_bucket=8)
+    n_files = len(t.manifest().files)
+    assert n_files > 1
+    seen = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, schema, entries):
+        seen.append(len(entries))
+        return orig(self, spark_, schema, entries)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    got = t.read_key(spark, {"k": 17}).collect()
+    assert [r.content for r in got] == ["v17"]
+    assert seen and seen[-1] < n_files
