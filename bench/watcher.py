@@ -134,9 +134,20 @@ def main() -> None:
         return
 
     deadline = time.time() + hours * 3600
+    # continue numbering past logs from earlier watcher runs in this cwd so
+    # a restart never overwrites recorded campaign evidence
     n = 0
+    while os.path.exists(f"campaign_auto_{n + 1}.log"):
+        n += 1
     probe_failures = 0
-    floor_lo = floor_hi = None     # session floors across ALL campaign trials
+    # session floors across ALL campaign trials; seedable from env so floors
+    # accumulated by an earlier same-round watcher run keep constraining the
+    # symmetry rule after a restart
+    floor_lo = float(os.environ.get("WATCHER_FLOOR_LO", 0)) or None
+    floor_hi = float(os.environ.get("WATCHER_FLOOR_HI", 0)) or None
+    seeded = floor_lo is not None and floor_hi is not None
+    if seeded:
+        note(f"floors seeded from env: ({floor_lo},{floor_hi})")
     while time.time() < deadline:
         m = run_probe(probe_dir)
         if m is None:
@@ -190,7 +201,8 @@ def main() -> None:
         floor_hi = min([floor_hi, *hi_all]) if floor_hi else min(hi_all)
         # floors from a single campaign make it trivially symmetric — the
         # rule only means something once a second campaign corroborates them
-        sym = n >= 2 and is_symmetric(summary, floor_lo, floor_hi)
+        sym = ((seeded or n >= 2)
+               and is_symmetric(summary, floor_lo, floor_hi))
         note(f"campaign auto{n} probe={m} eff={eff} "
              f"N={t_lo}s 4N={t_hi}s floors=({floor_lo},{floor_hi}) "
              f"symmetric={sym}")
