@@ -1862,6 +1862,51 @@ def q_line_dedup_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_intradoc_line_dedup(spark, sf_dir):
+    """WITHIN-document repeated-line removal (the intra-document half of
+    RefinedWeb line dedup; q_line_dedup_docs certifies the corpus-frequency
+    half): under the 2-token reflow, a non-blank line repeating earlier in
+    the SAME document is dropped, first occurrence kept, document rebuilt
+    in order (181 of 500 docs at sf0.01 carry natural intra-doc repeats —
+    both flag sides real). The whole operator is ONE per-row projection of
+    higher-order array expressions — zero shuffles, zero joins (pinned by
+    test_intra_doc_line_dedup_is_shuffle_free); exact integers until one
+    double division per doc."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        intra_doc_line_dedup)
+    docs = _t(spark, sf_dir, "documents")
+    return (intra_doc_line_dedup(
+                docs.select("doc_id", _reflow_lines(2).alias("text")))
+            .orderBy("doc_id"))
+
+
+def q_winnow_fingerprint_digest(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): char 8-gram sha256 stream, window-of-4 minimum
+    selection with rightmost tie-break (robust winnowing), per-doc
+    position-ordered digest + density. ONE per-row projection — zero
+    shuffles/joins (pinned by test_winnow_match_pairs_and_digest_
+    shuffle_free); ~95k grams hashed at sf0.01, every engine-vs-oracle
+    byte pinned through the digest."""
+    from kafka_connect_dynamodb_spark.operators.dedup import winnow_digest
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_digest(docs, k=8, window=4).orderBy("doc_id")
+
+
+def q_winnow_match_pairs(spark, sf_dir):
+    """MOSS-style fingerprint match pairs: docs sharing >= 2 distinct
+    winnowing fingerprint hashes at k=16/w=4 (354 pairs at sf0.01 — long
+    shared character runs, not vocabulary coincidence). Scale shape:
+    distinct (doc, hash) -> frequency-capped hash buckets (<= 50 docs,
+    boilerplate dropped) -> per-hash self-join -> map-side-combined pair
+    counts; no all-pairs stage."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        winnow_match_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return (winnow_match_pairs(docs, k=16, window=4, min_shared=2)
+            .orderBy("id_a", "id_b"))
+
+
 def q_dsir_importance_weights(spark, sf_dir):
     """DSIR (Xie et al. 2023) importance resampling scores: a deterministic
     5% 'target' slice (portable hash threshold, salt 'dsir_t') defines the
@@ -2075,6 +2120,118 @@ def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
                    CAST(rm AS DOUBLE) / greatest(tot, 1) AS removed_char_frac,
                    text
             FROM agg ORDER BY doc_id"""
+
+
+def _winnow_ctes(k: int, w: int) -> str:
+    """Shared winnowing CTEs: normalized char stream -> k-gram sha256 ->
+    window-of-w minimum with RIGHTMOST tie-break -> distinct selections.
+    The rightmost rule rides the hash||lpad(9999999999-i) key: string min
+    picks the smallest hash, and among equal hashes the LARGEST i (the
+    window-function twin of the Spark side's reverse+array_position).
+    A struct-valued window min computes the same thing 180x slower."""
+    return f"""
+            WITH s AS (SELECT doc_id,
+                    regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9]', '', 'g') AS t
+                FROM documents),
+            e AS (SELECT doc_id, length(t) AS nc,
+                         unnest(range(1, greatest(length(t)-{k - 1}, 0)+1))
+                           AS i, t
+                  FROM s),
+            h AS (SELECT doc_id, nc, CAST(i AS INT) AS i,
+                         sha256(substring(t, CAST(i AS INT), {k}))
+                           || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0')
+                           AS key
+                  FROM e),
+            w AS (SELECT doc_id, nc, i AS j,
+                         min(key) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                           AS m
+                  FROM h),
+            sel AS (SELECT DISTINCT doc_id,
+                           9999999999 - CAST(substring(m, 65) AS BIGINT)
+                             AS pos,
+                           substring(m, 1, 64) AS h
+                    FROM w WHERE j <= nc - {k - 1} - {w - 1})"""
+
+
+def _winnow_digest_oracle(k: int = 8, w: int = 4) -> str:
+    """SQL mirror of q_winnow_fingerprint_digest: same normalization,
+    same selection rule, digest over the identical position-ordered
+    'lpad(pos):hash' encoding."""
+    return f"""{_winnow_ctes(k, w)},
+            agg AS (SELECT doc_id, count(*) AS nf,
+                      sha256(array_to_string(
+                        list(lpad(CAST(pos AS VARCHAR), 10, '0') || ':' || h
+                             ORDER BY pos), '|')) AS dg
+                    FROM sel GROUP BY doc_id),
+            dims AS (SELECT doc_id,
+                       greatest(length(t) - {k - 1}, 0) AS ng,
+                       greatest(greatest(length(t) - {k - 1}, 0) - {w - 1},
+                                0) AS nw
+                     FROM s)
+            SELECT dims.doc_id,
+                   CAST(ng AS BIGINT) AS n_grams,
+                   CAST(nw AS BIGINT) AS n_windows,
+                   CAST(coalesce(nf, 0) AS BIGINT) AS n_fingerprints,
+                   CAST(coalesce(nf, 0) AS DOUBLE)
+                     / CAST(greatest(nw, 1) AS DOUBLE) AS fp_density,
+                   coalesce(dg, sha256('')) AS fp_digest
+            FROM dims LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+
+def _winnow_pairs_oracle(k: int = 16, w: int = 4, min_shared: int = 2,
+                         max_bucket: int = 50) -> str:
+    """SQL mirror of q_winnow_match_pairs: distinct (doc, hash), the same
+    [2, max_bucket] frequency cap, per-hash self-join, shared-count
+    threshold."""
+    return f"""{_winnow_ctes(k, w)},
+            d AS (SELECT DISTINCT doc_id, h FROM sel),
+            ok AS (SELECT h FROM d GROUP BY h
+                   HAVING count(*) BETWEEN 2 AND {max_bucket}),
+            sk AS (SELECT doc_id, h FROM d JOIN ok USING (h))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sk a JOIN sk b USING (h) WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+            ORDER BY id_a, id_b"""
+
+
+def _intradoc_line_dedup_oracle(n: int = 2) -> str:
+    """SQL mirror of q_intradoc_line_dedup: same reflow, same
+    first-occurrence-by-trimmed-form rule (list_position == Spark's
+    array_position, both 1-based first index), same ordered rebuild and
+    the one double division."""
+    return f"""
+            WITH toks AS (SELECT doc_id, {_CTOKS_SQL} AS tk FROM documents),
+            rf AS (SELECT doc_id,
+                     array_to_string(list_transform(
+                       range(0, CAST(ceil(len(tk) / {float(n)}) AS INT)),
+                       g -> array_to_string(tk[g*{n}+1:g*{n}+{n}], ' ')),
+                       chr(10)) AS text
+                   FROM toks),
+            s AS (SELECT doc_id, string_split(text, chr(10)) AS arr,
+                    list_transform(string_split(text, chr(10)),
+                                   x -> trim(x)) AS norms
+                  FROM rf),
+            k AS (SELECT doc_id, arr,
+                    list_filter(range(1, len(arr)+1), i ->
+                      norms[i] = ''
+                      OR list_position(norms, norms[i]) = i) AS keep
+                  FROM s)
+            SELECT doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_lines,
+                   CAST(len(arr) - len(keep) AS BIGINT) AS n_repeat_lines,
+                   CAST(coalesce(list_sum(list_transform(arr,
+                            x -> length(x))), 0)
+                        - coalesce(list_sum(list_transform(keep,
+                            i -> length(arr[i]))), 0) AS DOUBLE)
+                     / CAST(greatest(coalesce(list_sum(list_transform(arr,
+                            x -> length(x))), 0), 1) AS DOUBLE)
+                     AS removed_char_frac,
+                   array_to_string(list_transform(keep, i -> arr[i]),
+                                   chr(10)) AS text
+            FROM k ORDER BY doc_id"""
 
 
 def _dsir_oracle(rate: float = 0.05, split_salt: str = "dsir_t",
@@ -2309,6 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "gopher_repetition": q_gopher_repetition,
         "line_dedup_docs": q_line_dedup_docs,
+        "intradoc_line_dedup": q_intradoc_line_dedup,
+        "winnow_fingerprint_digest": q_winnow_fingerprint_digest,
+        "winnow_match_pairs": q_winnow_match_pairs,
         "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -2701,6 +2861,9 @@ def oracle_sql() -> dict[str, str]:
                    max(t) + 1800000 AS end_ms, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""",
         "line_dedup_docs": _line_dedup_oracle(),
+        "intradoc_line_dedup": _intradoc_line_dedup_oracle(),
+        "winnow_fingerprint_digest": _winnow_digest_oracle(),
+        "winnow_match_pairs": _winnow_pairs_oracle(),
         "neardup_banded_pairs": _neardup_owner_oracle(),
     }
 

@@ -632,3 +632,60 @@ def dsir_importance(df: DataFrame, target: DataFrame, *,
     return per_doc.select(
         F.col("id").alias(id_col), "n_tokens", logw.alias("log_weight"),
         (logw > F.lit(log_w_threshold)).alias("selected"))
+
+
+# ------------------------------------------- intra-document line dedup
+
+def intra_doc_line_dedup(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         sep: str = "\n") -> DataFrame:
+    """WITHIN-document repeated-line removal: inside each document, a
+    non-blank line whose trimmed form already occurred earlier in the SAME
+    document is dropped; the first occurrence and all blank lines are kept
+    and the document is rebuilt in order. This is the intra-document half
+    of RefinedWeb-style line dedup (repeated nav fragments, chat-log echo,
+    scraped pagination artifacts) — :func:`line_dedup` handles the
+    corpus-frequency half.
+
+    Output per document: ``n_lines``, ``n_repeat_lines``,
+    ``removed_char_frac`` (chars in dropped lines / chars in all lines,
+    separators excluded; exact integers until one double division) and the
+    rebuilt ``text``.
+
+    Scale shape: the entire operator is ONE per-row projection of
+    higher-order array expressions (split → trim → first-occurrence filter
+    via ``array_position`` → rebuild) — zero shuffles, zero joins,
+    embarrassingly parallel at any corpus size. The first-occurrence test
+    is O(lines²) per document in the worst case, bounded by document
+    length, never by corpus size.
+
+    Extends the engine beyond the reference (no corpus analytics in
+    trustpilot/kafka-connect-dynamodb — see
+    ``source/src/main/java/com/trustpilot/connector/dynamodb``)."""
+    # same literal-quoting discipline as line_dedup (ADVICE r6)
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx, -1)
+    # explicit one-arg lambda: F.trim itself has an optional second param,
+    # which transform() would mis-bind to the element index
+    base = (df.select(F.col(id_col), arr.alias("_arr"))
+              .withColumn("_norms", F.transform("_arr", lambda x: F.trim(x))))
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("_arr")),
+        lambda i: (F.element_at("_norms", i) == F.lit(""))
+        | (F.array_position("_norms", F.element_at("_norms", i)) == i))
+    out = base.withColumn("_keep", keep)
+    tot = F.aggregate("_arr", F.lit(0).cast("long"),
+                      lambda a, x: a + F.length(x))
+    kept = F.aggregate("_keep", F.lit(0).cast("long"),
+                       lambda a, i: a + F.length(F.element_at("_arr", i)))
+    return out.select(
+        F.col(id_col),
+        F.size("_arr").cast("long").alias("n_lines"),
+        (F.size("_arr") - F.size("_keep")).cast("long")
+         .alias("n_repeat_lines"),
+        ((tot - kept).cast("double")
+         / F.greatest(tot, F.lit(1).cast("long")).cast("double"))
+         .alias("removed_char_frac"),
+        F.concat_ws(sep, F.transform("_keep",
+                                     lambda i: F.element_at("_arr", i)))
+         .alias("text"))

@@ -637,3 +637,123 @@ def trim_duplicated_spans(df: DataFrame, *, n: int = 20,
                     F.concat_ws(" ", F.col("_kept")).alias("text_clean"),
                     F.size("_kept").alias("n_tokens_kept"),
                     F.size("toks").alias("n_tokens")))
+
+
+# ----------------------------------------------------------- winnowing
+
+def _winnow_fp_array(t: Column, *, k: int, window: int) -> Column:
+    """Array of winnowing fingerprints for one normalized char stream
+    ``t``, each encoded ``lpad(pos,10,'0') || ':' || sha256(k-gram)`` so
+    plain string sort orders by gram position. Pure expression tree.
+
+    Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm): hash
+    every char k-gram, slide a window of ``window`` consecutive hashes,
+    select each window's minimum hash — rightmost occurrence on ties
+    (robust winnowing) — and de-duplicate the selections. Guarantees any
+    match of length >= k + window - 1 shares a fingerprint."""
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: F.sha2(F.substring(t, i, k), 256))
+    ).otherwise(F.array().cast("array<string>"))
+
+    def pick(hashes: Column, j: Column) -> Column:
+        win = F.slice(hashes, j, window)
+        minh = F.array_min(win)
+        # rightmost tie: first position in the reversed window
+        off = (F.lit(window + 1)
+               - F.array_position(F.reverse(win), minh))
+        return F.concat(F.lpad((j - 1 + off).cast("string"), 10, "0"),
+                        F.lit(":"), minh)
+
+    def fps(hashes: Column) -> Column:
+        nw = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+        return F.when(
+            nw >= 1,
+            F.array_sort(F.array_distinct(
+                F.transform(F.sequence(F.lit(1), nw),
+                            lambda j: pick(hashes, j))))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return fps(grams)
+
+
+def _winnow_norm(text_col: str) -> Column:
+    """MOSS-style normalization: lowercase, strip everything outside
+    [a-z0-9] (whitespace/punct/markup-insensitive matching)."""
+    return F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", "")
+
+
+def winnow_digest(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 8,
+                  window: int = 4) -> DataFrame:
+    """Per-document winnowing fingerprint summary: ``n_grams``,
+    ``n_windows``, ``n_fingerprints``, ``fp_density`` (selected / windows)
+    and ``fp_digest`` — sha256 over the position-ordered fingerprint list,
+    a stable content identity for the document under the winnowing scheme.
+
+    Scale shape: ONE per-row projection (normalize → k-gram sha256 →
+    window-min select → digest) — zero shuffles, zero joins; cost is
+    O(chars · window) per document, never corpus-dependent.
+
+    Extends the engine beyond the reference (no corpus analytics in
+    trustpilot/kafka-connect-dynamodb)."""
+    t = F.col("_t")
+    base = fan_out(df).select(F.col(id_col), _winnow_norm(text_col).alias("_t"))
+    out = base.withColumn("_fps", _winnow_fp_array(t, k=k, window=window))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    n_win = F.greatest(n_grams - F.lit(window - 1), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_win.cast("long").alias("n_windows"),
+        F.size("_fps").cast("long").alias("n_fingerprints"),
+        (F.size("_fps").cast("double")
+         / F.greatest(n_win, F.lit(1)).cast("double")).alias("fp_density"),
+        F.sha2(F.concat_ws("|", F.col("_fps")), 256).alias("fp_digest"))
+
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Exploded winnowing fingerprints: one row per selected fingerprint —
+    ``(id, pos, fp_hash)`` with ``pos`` the 1-based k-gram position. The
+    at-rest form for a fingerprint index (bucket by ``fp_hash``)."""
+    base = fan_out(df).select(F.col(id_col).alias("id"),
+                              _winnow_norm(text_col).alias("_t"))
+    fps = _winnow_fp_array(F.col("_t"), k=k, window=window)
+    return (base.select("id", F.explode(fps).alias("_f"))
+            .select("id",
+                    F.substring("_f", 1, 10).cast("int").alias("pos"),
+                    F.substring("_f", 12, 64).alias("fp_hash")))
+
+
+def winnow_match_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8, window: int = 4,
+                       min_shared: int = 2,
+                       max_bucket: int = 50) -> DataFrame:
+    """MOSS-style candidate match pairs: documents sharing at least
+    ``min_shared`` distinct fingerprint HASHES (positions ignored — the
+    winnowing guarantee is on hash overlap), with the shared count.
+
+    Scale shape: distinct (doc, hash) rows group on the hash; hashes more
+    frequent than ``max_bucket`` docs are dropped (corpus boilerplate —
+    the same frequency cap every banded dedup operator here applies); the
+    remaining buckets self-join per hash and the pair counts aggregate
+    map-side. No all-pairs stage anywhere."""
+    fp = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                              k=k, window=window)
+          .select("id", "fp_hash").distinct())
+    ok = (fp.groupBy("fp_hash").agg(F.count("*").alias("_n"))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+            .select("fp_hash"))
+    fp = fp.join(ok, "fp_hash")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(min_shared)))

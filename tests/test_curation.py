@@ -517,3 +517,90 @@ def test_line_dedup_regex_special_separator(spark):
     assert got[1].text == "unique one|tail.a"
     assert got[2].text == "unique two|tail.b"
     assert got[1].n_lines == 3 and got[1].n_dup_lines == 1
+
+
+# ------------------------------------------- intra-document line dedup
+
+def _brute_intra(corpus: dict, sep: str = "\n") -> dict:
+    out = {}
+    for did, text in corpus.items():
+        arr = text.split(sep)
+        norms = [x.strip() for x in arr]
+        keep = [i for i in range(len(arr))
+                if norms[i] == "" or norms.index(norms[i]) == i]
+        tot = sum(len(x) for x in arr)
+        kc = sum(len(arr[i]) for i in keep)
+        out[did] = {"n_lines": len(arr),
+                    "n_repeat_lines": len(arr) - len(keep),
+                    "removed_char_frac": (tot - kc) / max(tot, 1),
+                    "text": sep.join(arr[i] for i in keep)}
+    return out
+
+
+def test_intra_doc_line_dedup_matches_bruteforce(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        intra_doc_line_dedup)
+    corpus = {
+        0: "x y\nfoo\n x y \nbar\nx y\n\n\nfoo",   # trim-equal repeats, blanks
+        1: "only\nlines\nhere",
+        2: "",                                      # empty doc
+        3: "same\nsame\nsame",
+        4: "  \n  \n",                              # whitespace-only lines
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in intra_doc_line_dedup(df).collect()}
+    want = _brute_intra(corpus)
+    for did, w in want.items():
+        for k, v in w.items():
+            assert getattr(got[did], k) == v, (did, k, getattr(got[did], k), v)
+
+
+def test_intra_doc_line_dedup_property_random_docs(spark):
+    """Randomized parity vs the naive replica; repeats, blanks, and
+    whitespace noise; partitioning-independent (pure projection)."""
+    import random
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        intra_doc_line_dedup)
+    for seed in (5, 23, 77):
+        rng = random.Random(seed)
+        corpus = {}
+        for did in range(30):
+            lines = []
+            for _ in range(rng.randint(0, 10)):
+                r = rng.random()
+                if r < 0.35 and lines:
+                    lines.append(rng.choice(lines))        # an echo
+                elif r < 0.5:
+                    lines.append("   ")
+                else:
+                    lines.append(f"l{rng.randint(0, 6)} {did}")
+            corpus[did] = "\n".join(lines)
+        df = spark.createDataFrame(list(corpus.items()),
+                                   "doc_id long, text string") \
+                  .repartition(rng.randint(1, 7))
+        got = {r.doc_id: r for r in intra_doc_line_dedup(df).collect()}
+        want = _brute_intra(corpus)
+        for did, w in want.items():
+            for k, v in w.items():
+                assert getattr(got[did], k) == v, (seed, did, k)
+
+
+def test_intra_doc_line_dedup_regex_special_separator(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        intra_doc_line_dedup)
+    df = spark.createDataFrame([("e", "a|b|a|c")], "doc_id string, text string")
+    r = intra_doc_line_dedup(df, sep="|").collect()[0]
+    assert r.text == "a|b|c" and r.n_repeat_lines == 1
+
+
+def test_intra_doc_line_dedup_is_shuffle_free(spark):
+    """The whole operator must stay a per-row projection: no exchange in
+    the optimized plan."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        intra_doc_line_dedup)
+    df = spark.createDataFrame([("a", "x\nx")], "doc_id string, text string")
+    qe = intra_doc_line_dedup(df)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in qe.executedPlan().toString()

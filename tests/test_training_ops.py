@@ -1040,3 +1040,88 @@ def test_ccnet_buckets_terciles_per_lang(spark):
            for r in text.ccnet_buckets(scored, langs).collect()}
     assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     assert out[100] == "head" and out[101] == "middle"  # ntile on 2 rows
+
+
+# ------------------------------------------------------------ winnowing
+
+def _brute_winnow(text, k, w):
+    """Naive winnowing replica (Schleimer et al. fig. 5, robust variant:
+    rightmost minimum per window, de-duplicated selections)."""
+    import hashlib as _hl
+    import re as _re
+    t = _re.sub(r"[^a-z0-9]", "", text.lower())
+    hs = [_hl.sha256(t[i:i + k].encode()).hexdigest()
+          for i in range(len(t) - k + 1)]
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j:j + w]
+        m = min(win)
+        sel.add((j + max(i for i, h in enumerate(win) if h == m) + 1, m))
+    return sorted(sel)
+
+
+def test_winnow_fingerprints_match_bruteforce(spark):
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        winnow_digest, winnow_fingerprints)
+    import hashlib
+    docs = [
+        ("a", "The quick brown fox jumps over the lazy dog!"),
+        ("b", "the QUICK brown fox JUMPED over a lazy dog"),
+        ("c", "aaaaaaaaaaaaaaaaaaaa"),          # all-equal hashes (tie storm)
+        ("d", ""),                               # empty
+        ("e", "ab"),                             # shorter than k
+        ("f", "zz yy xx " * 7),                  # periodic text
+    ]
+    K, W = 5, 4
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    by_doc = {}
+    for r in winnow_fingerprints(df, k=K, window=W).collect():
+        by_doc.setdefault(r.id, []).append((r.pos, r.fp_hash))
+    dg = {r.doc_id: r for r in winnow_digest(df, k=K, window=W).collect()}
+    for did, text in docs:
+        exp = _brute_winnow(text, K, W)
+        assert sorted(by_doc.get(did, [])) == exp, did
+        cat = "|".join(f"{p:010d}:{h}" for p, h in exp)
+        assert dg[did].fp_digest == hashlib.sha256(cat.encode()).hexdigest()
+        assert dg[did].n_fingerprints == len(exp)
+
+
+def test_winnow_guarantee_property(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 (after normalization) share at least one fingerprint
+    HASH; random corpora, fixed seeds."""
+    import random
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        winnow_fingerprints)
+    K, W = 6, 5
+    shared_run = "thecommonboilerplatefragmentxyz"   # len 31 >= K+W-1
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        def rnd(n):
+            return "".join(rng.choice("abcdefghij") for _ in range(n))
+        docs = [("s1", rnd(40) + shared_run + rnd(40)),
+                ("s2", rnd(25) + shared_run + rnd(55)),
+                ("u1", rnd(120))]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        fp = winnow_fingerprints(df, k=K, window=W)
+        hs = {}
+        for r in fp.collect():
+            hs.setdefault(r.id, set()).add(r.fp_hash)
+        assert hs["s1"] & hs["s2"], seed     # guarantee: non-empty overlap
+
+
+def test_winnow_match_pairs_and_digest_shuffle_free(spark):
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        winnow_digest, winnow_match_pairs)
+    docs = [("a", "shared sentence of considerable length right here"),
+            ("b", "SHARED sentence OF considerable LENGTH right here!"),
+            ("c", "something else entirely different and unrelated")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in winnow_match_pairs(df, k=8, window=4,
+                                         min_shared=2).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] >= 2
+    assert not any("c" in p for p in pairs)
+    # digest stage is a pure projection — no exchange in the physical plan
+    qe = winnow_digest(df.coalesce(8))._jdf.queryExecution()
+    assert "Exchange" not in qe.executedPlan().toString()
