@@ -1880,6 +1880,22 @@ def q_intradoc_line_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: sha-minhash LSH near-dup pairs
+    -> connected components -> split assigned by the portable hash of the
+    CLUSTER id against exact cumulative 52-bit thresholds — near-dups can
+    never straddle a split boundary (the contamination channel a doc-keyed
+    split leaves open). Oracle replays the SAME edge set through DuckDB's
+    recursive-CTE transitive closure and the same hash arithmetic."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        minhash_lsh_candidates_sha)
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        cluster_safe_split)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates_sha(docs)
+    return cluster_safe_split(docs, pairs).orderBy("doc_id")
+
+
 def q_winnow_fingerprint_digest(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
     the MOSS algorithm): char 8-gram sha256 stream, window-of-4 minimum
@@ -2120,6 +2136,41 @@ def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
                    CAST(rm AS DOUBLE) / greatest(tot, 1) AS removed_char_frac,
                    text
             FROM agg ORDER BY doc_id"""
+
+
+def _cluster_safe_split_oracle(salt: str = "split") -> str:
+    """SQL mirror of q_cluster_safe_split: the dedup_cluster oracle's
+    recursive transitive closure over the same sha-minhash edge set, then
+    the portable 52-bit hash of coalesce(component, doc_id) against the
+    cumulative thresholds for (0.90, 0.05, 0.05)."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        threshold_for)
+    t1, t2 = threshold_for(0.90), threshold_for(0.95)
+    return _minhash_ctes().replace(
+        "WITH toks", "WITH RECURSIVE toks", 1) + f""",
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bm a JOIN bm b USING (band, bh)
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            asg AS (SELECT d.doc_id,
+                      coalesce(comp.component, d.doc_id) AS cluster_id
+                    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+            hs AS (SELECT doc_id, cluster_id,
+                     CAST('0x' || substr(sha256('{salt}'
+                          || CAST(cluster_id AS VARCHAR)), 1, 13) AS BIGINT)
+                       AS h
+                   FROM asg)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN h < {t1} THEN 'train'
+                        WHEN h < {t2} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM hs ORDER BY doc_id"""
 
 
 def _winnow_ctes(k: int, w: int) -> str:
@@ -2468,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "intradoc_line_dedup": q_intradoc_line_dedup,
         "winnow_fingerprint_digest": q_winnow_fingerprint_digest,
+        "cluster_safe_split": q_cluster_safe_split,
         "winnow_match_pairs": q_winnow_match_pairs,
         "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -2863,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _line_dedup_oracle(),
         "intradoc_line_dedup": _intradoc_line_dedup_oracle(),
         "winnow_fingerprint_digest": _winnow_digest_oracle(),
+        "cluster_safe_split": _cluster_safe_split_oracle(),
         "winnow_match_pairs": _winnow_pairs_oracle(),
         "neardup_banded_pairs": _neardup_owner_oracle(),
     }

@@ -138,3 +138,52 @@ def temperature_resample(df: DataFrame, strata_col: str, key_col: str, *,
                        F.lit(int(rates[s] * (1 << _FRAC_BITS)))).otherwise(thr_e)
     return df.withColumn("keep_rate", rate_e).withColumn(
         "kept", hash_int(F.col(key_col), salt) < thr_e)
+
+
+# ------------------------------------------------- leakage-safe splits
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       fracs: tuple = (("train", 0.90), ("val", 0.05),
+                                       ("test", 0.05)),
+                       salt: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test split: every document is assigned a
+    split by the portable hash of its NEAR-DUP CLUSTER id (connected
+    component over ``pairs``; unpaired docs are their own cluster), so
+    near-duplicates can never straddle a split boundary — the standard
+    contamination channel a doc-keyed split leaves open (a test document
+    whose near-copy sits in train).
+
+    ``fracs`` is an ordered (name, fraction) tuple; fractions must sum to
+    1. Assignment uses exact integer thresholds on the 52-bit hash (no
+    floating point in the per-row decision) against CUMULATIVE cut
+    points, so each split's expected mass is its fraction and the whole
+    assignment is reproducible from (cluster_id, salt) alone.
+
+    Output: ``(id_col, cluster_id, split)`` — one row per input doc.
+
+    Scale shape: connected components is the dominant cost (one
+    equi-join + min-agg per round, linear in near-dup edges; see
+    :func:`..dedup.connected_components`); the split itself is one
+    left join (docs × tiny component table) and a pure projection.
+    Extends the engine beyond the reference (no corpus analytics in
+    trustpilot/kafka-connect-dynamodb)."""
+    from .dedup import connected_components
+
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fracs must sum to 1, got {total}")
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    joined = docs.select(F.col(id_col)).join(comp, on=id_col, how="left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    h = hash_int(cluster, salt)
+    acc = 0.0
+    expr = F.lit(fracs[-1][0])          # fall-through: the last split
+    conds = []
+    for name, frac in fracs[:-1]:
+        acc += frac
+        conds.append((threshold_for(acc), name))
+    for thr, name in reversed(conds):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return joined.select(F.col(id_col), cluster.alias("cluster_id"),
+                         expr.alias("split"))

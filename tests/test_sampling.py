@@ -126,3 +126,68 @@ def test_temperature_mix_rates_invariants():
     r_quart = temperature_mix_rates(c2, target_frac=0.2, alpha=0.25)
     assert r_quart["tail"] > r_half["tail"] > r1["tail"]
     assert r_quart["head"] < r_half["head"] < r1["head"]
+
+
+# ------------------------------------------------- leakage-safe splits
+
+def test_cluster_safe_split_matches_bruteforce(spark):
+    """Union-find + sha replay: split equals hash(cluster-min-id) against
+    cumulative 52-bit thresholds; near-dups never straddle splits."""
+    import hashlib
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        cluster_safe_split, threshold_for)
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 30), (30, 31), (7, 8)],
+        "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in cluster_safe_split(docs, pairs).collect()}
+    # brute union-find
+    parent = {i: i for i in range(40)}
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+    for a, b in [(0, 1), (1, 2), (5, 6), (10, 30), (30, 31), (7, 8)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    t1, t2 = threshold_for(0.90), threshold_for(0.95)
+    for i in range(40):
+        c = find(i)
+        h = int(hashlib.sha256(f"split{c}".encode()).hexdigest()[:13], 16)
+        split = "train" if h < t1 else ("val" if h < t2 else "test")
+        assert out[i] == (c, split), (i, out[i], (c, split))
+
+
+def test_cluster_safe_split_no_straddle_and_mass(spark):
+    """Random near-dup graphs: every edge's endpoints land in the same
+    split; split masses approximate the fractions over many clusters."""
+    import random
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        cluster_safe_split)
+    rng = random.Random(9)
+    n = 400
+    edges = [(i, i + 1) for i in range(0, n, 10) ]  # chains of 2
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = cluster_safe_split(docs, pdf).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    for a, b in edges:
+        assert split_of[a] == split_of[b], (a, b)
+    frac_train = sum(1 for r in rows if r.split == "train") / n
+    assert 0.80 < frac_train <= 1.0
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_cluster_safe_split_fracs_validation(spark):
+    import pytest as _pytest
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        cluster_safe_split)
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        cluster_safe_split(docs, pairs,
+                           fracs=(("train", 0.5), ("test", 0.4)))
