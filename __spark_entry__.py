@@ -1880,6 +1880,60 @@ def q_intradoc_line_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_TX_COORDS: dict = {}
+
+
+def _tx_coord(spark, sf_dir):
+    """Memoized TxCoordinator run for q_cdc_tx_consistent_apply: a
+    two-table transaction log derived from events (tx = 5 consecutive
+    event ids, table by user parity), with one mid-log event and the last
+    37 events still in flight — the watermark stops at the first
+    incomplete transaction and everything after is held back."""
+    import atexit
+    import shutil
+    import tempfile
+    if sf_dir in _TX_COORDS:
+        return _TX_COORDS[sf_dir]
+    from kafka_connect_dynamodb_spark.plans.transactions import TxCoordinator
+    ev = _t(spark, sf_dir, "events")
+    full = ev.select(
+        F.expr("event_id DIV 5").alias("tx_id"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+         .otherwise(F.lit("odd")).alias("table"),
+        F.col("user_id").alias("k"), F.col("value").alias("v"),
+        _op_expr().alias("_op"), F.col("event_id").alias("_seq"))
+    bounds = full.groupBy("tx_id").agg(F.count("*").alias("event_count"))
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    log = full.filter((F.col("_seq") != F.lit(3 * (mx // 7)))
+                      & (F.col("_seq") <= F.lit(mx - 37)))
+    work = tempfile.mkdtemp(prefix="txcoord-row-")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    coord = TxCoordinator(spark, os.path.join(work, "lake"),
+                          key_cols=["k"], n_buckets=4)
+    coord.apply(log, bounds)
+    _TX_COORDS[sf_dir] = coord
+    return coord
+
+
+def q_cdc_tx_consistent_apply(spark, sf_dir):
+    """Cross-table transaction-consistent CDC apply: the Debezium
+    transaction-metadata contract (per-tx END event counts) enforced over
+    a two-table change log — only the maximal contiguous prefix of
+    COMPLETE transactions applies (one mid-log event in flight holds back
+    every later transaction), each table merges under a shared
+    batch-id=watermark guard, and the result is read through the
+    coordinated snapshot record, never 'current version'. Final state of
+    both lake tables, keyed (tname, k)."""
+    coord = _tx_coord(spark, sf_dir)
+    parts = [coord.read_consistent(spark, n)
+             .select(F.lit(n).alias("tname"), "k", "v")
+             for n in sorted(coord.snapshot()["tables"])]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tname", "k")
+
+
 def q_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: sha-minhash LSH near-dup pairs
     -> connected components -> split assigned by the portable hash of the
@@ -2136,6 +2190,28 @@ def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
                    CAST(rm AS DOUBLE) / greatest(tot, 1) AS removed_char_frac,
                    text
             FROM agg ORDER BY doc_id"""
+
+
+_TX_APPLY_ORACLE = f"""
+    WITH ev AS (SELECT event_id // 5 AS tx_id,
+                  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS t,
+                  user_id AS k, value AS v, {_OP_SQL} AS op,
+                  event_id AS seq
+                FROM events),
+    bd AS (SELECT tx_id, count(*) AS cnt FROM ev GROUP BY tx_id),
+    mx AS (SELECT max(event_id) AS m FROM events),
+    log AS (SELECT ev.* FROM ev, mx
+            WHERE seq <> 3 * (m // 7) AND seq <= m - 37),
+    got AS (SELECT tx_id, count(*) AS g FROM log GROUP BY tx_id),
+    stat AS (SELECT bd.tx_id, coalesce(g, 0) = cnt AS ok
+             FROM bd LEFT JOIN got USING (tx_id)),
+    wm AS (SELECT coalesce(min(CASE WHEN NOT ok THEN tx_id END) - 1,
+                           max(tx_id)) AS w FROM stat),
+    app AS (SELECT log.* FROM log, wm WHERE tx_id <= w),
+    last AS (SELECT t, k, v, op FROM
+             (SELECT *, row_number() OVER (PARTITION BY t, k
+                      ORDER BY seq DESC) AS rn FROM app) WHERE rn = 1)
+    SELECT t AS tname, k, v FROM last WHERE op <> 'd' ORDER BY tname, k"""
 
 
 def _cluster_safe_split_oracle(salt: str = "split") -> str:
@@ -2520,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intradoc_line_dedup": q_intradoc_line_dedup,
         "winnow_fingerprint_digest": q_winnow_fingerprint_digest,
         "cluster_safe_split": q_cluster_safe_split,
+        "cdc_tx_consistent_apply": q_cdc_tx_consistent_apply,
         "winnow_match_pairs": q_winnow_match_pairs,
         "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -2916,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "intradoc_line_dedup": _intradoc_line_dedup_oracle(),
         "winnow_fingerprint_digest": _winnow_digest_oracle(),
         "cluster_safe_split": _cluster_safe_split_oracle(),
+        "cdc_tx_consistent_apply": _TX_APPLY_ORACLE,
         "winnow_match_pairs": _winnow_pairs_oracle(),
         "neardup_banded_pairs": _neardup_owner_oracle(),
     }
