@@ -337,6 +337,33 @@ QUERY_AUDIT = {
              "hashpartitioning(key#"),
             ("lead window over the keyed exchange", "Window"),
         ],
+        "intradoc_line_dedup": [
+            ("pure projection - no join anywhere", "Join", False),
+            ("no aggregate (per-row array fold only)", "Aggregate", False),
+            ("no Python anywhere", "EvalPython", False),
+            ("codegen", "codegen id"),
+        ],
+        "winnow_fingerprint_digest": [
+            ("pure projection - no join anywhere", "Join", False),
+            ("no aggregate (digest folded per row)", "Aggregate", False),
+            ("no Python anywhere", "EvalPython", False),
+        ],
+        "winnow_match_pairs": [
+            ("freq-capped hash buckets, no cartesian product",
+             "CartesianProduct", False),
+            ("no nested-loop join", "BroadcastNestedLoopJoin", False),
+            ("map-side combined pair counts", "HashAggregate"),
+            ("no Python anywhere", "EvalPython", False),
+        ],
+        "cluster_safe_split": [
+            ("no cartesian product", "CartesianProduct", False),
+            ("no Python anywhere", "EvalPython", False),
+        ],
+        "cdc_tx_consistent_apply": [
+            ("consistent read straight off pinned parquet versions",
+             "Scan parquet"),
+            ("no Python anywhere", "EvalPython", False),
+        ],
     }
 
 
