@@ -97,6 +97,22 @@ R6_OPS = [
     "gopher_quality",
 ]
 
+# r7 additions: new gate rows from the round-7 build — measured per-query,
+# excluded from the headline (same policy as r5/r6 sections)
+R7_OPS = [
+    "cdc_incremental_agg_view",
+    "cdc_scd2_history",
+    "exact_price_quantiles",
+    "debezium_roundtrip",
+    "zorder_pruned_scan",
+    "ivf_pq_residual_topk",
+    "intradoc_line_dedup",
+    "winnow_fingerprint_digest",
+    "winnow_match_pairs",
+    "cluster_safe_split",
+    "cdc_tx_consistent_apply",
+]
+
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -177,6 +193,14 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         r6_timings[name] = round(time.perf_counter() - t0, 3)
+
+    r7_timings: dict[str, float] = {}
+    for name in R7_OPS:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()   # also builds/memoizes the row's tables
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        r7_timings[name] = round(time.perf_counter() - t0, 3)
 
     # ---- flagship: full two-phase CDC replay at generator scale ----
     from kafka_connect_dynamodb_spark.lake.table import LakeTable
@@ -279,6 +303,8 @@ def main() -> None:
         "r5_corpus_ops_total_sec": round(sum(r5_timings.values()), 3),
         "r6_ops": r6_timings,
         "r6_ops_total_sec": round(sum(r6_timings.values()), 3),
+        "r7_ops": r7_timings,
+        "r7_ops_total_sec": round(sum(r7_timings.values()), 3),
         "cdc_replay_events": REPLAY_EVENTS,
         "cdc_replay_reps": [round(t, 3) for t in applies],
         "cdc_replay_min_sec": round(min(applies), 3),

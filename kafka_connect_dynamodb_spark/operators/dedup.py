@@ -650,33 +650,53 @@ def _winnow_fp_array(t: Column, *, k: int, window: int) -> Column:
     every char k-gram, slide a window of ``window`` consecutive hashes,
     select each window's minimum hash — rightmost occurrence on ties
     (robust winnowing) — and de-duplicate the selections. Guarantees any
-    match of length >= k + window - 1 shares a fingerprint."""
+    match of length >= k + window - 1 shares a fingerprint.
+
+    Shape: ONE ``F.aggregate`` left fold over a ONCE-evaluated keys array
+    (``sha256(gram) || inverted-position``, so ``array_min`` breaks hash
+    ties to the rightmost position), carrying (ring buffer of the last
+    ``window`` keys, selections). A naive per-window ``slice`` re-embeds
+    the whole sha256 transform expression in every window (no CSE inside
+    HOF lambdas) and goes O(grams²) hashes — the same blowup the r6
+    minhash fold fix removed (measured 47.7 s -> ~1 s at sf0.01 here).
+    Consecutive windows sharing a minimum produce runs, so append-if-
+    changed plus a final ``array_distinct`` yields exactly the distinct
+    selection set."""
+    INV = 10_000_000_000
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    grams = F.when(
+    keys = F.when(
         n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), n_grams),
-                    lambda i: F.sha2(F.substring(t, i, k), 256))
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat(
+                F.sha2(F.substring(t, i, k), 256),
+                F.lpad((F.lit(INV) - i).cast("string"), 11, "0")))
     ).otherwise(F.array().cast("array<string>"))
 
-    def pick(hashes: Column, j: Column) -> Column:
-        win = F.slice(hashes, j, window)
-        minh = F.array_min(win)
-        # rightmost tie: first position in the reversed window
-        off = (F.lit(window + 1)
-               - F.array_position(F.reverse(win), minh))
-        return F.concat(F.lpad((j - 1 + off).cast("string"), 10, "0"),
-                        F.lit(":"), minh)
+    empty = F.array().cast("array<string>")
+    zero = F.struct(empty.alias("win"), empty.alias("sels"))
 
-    def fps(hashes: Column) -> Column:
-        nw = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
-        return F.when(
-            nw >= 1,
-            F.array_sort(F.array_distinct(
-                F.transform(F.sequence(F.lit(1), nw),
-                            lambda j: pick(hashes, j))))
-        ).otherwise(F.array().cast("array<string>"))
+    def step(acc: Column, x: Column) -> Column:
+        grown = F.concat(acc["win"], F.array(x))
+        win = F.when(F.size(grown) > window,
+                     F.slice(grown, 2, window)).otherwise(grown)
+        sel = F.array_min(win)
+        take = ((F.size(win) == window)
+                & ((F.size(acc["sels"]) == 0)
+                   | (F.element_at(acc["sels"], -1) != sel)))
+        return F.struct(
+            win.alias("win"),
+            F.when(take, F.concat(acc["sels"], F.array(sel)))
+             .otherwise(acc["sels"]).alias("sels"))
 
-    return fps(grams)
+    sels = F.aggregate(keys, zero, step, lambda acc: acc["sels"])
+    return F.array_sort(F.array_distinct(F.transform(
+        sels,
+        lambda s: F.concat(
+            F.lpad((F.lit(INV)
+                    - F.substring(s, 65, 11).cast("long")).cast("string"),
+                   10, "0"),
+            F.lit(":"), F.substring(s, 1, 64)))))
 
 
 def _winnow_norm(text_col: str) -> Column:
