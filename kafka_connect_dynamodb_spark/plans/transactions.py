@@ -147,10 +147,14 @@ class TxCoordinator:
         w = tx_watermark(events, boundaries)
         prev = self.snapshot()
         prev_w = prev["watermark"] if prev else -1
+        if w < 0 and prev_w >= 0:
+            # an entirely empty log after applied transactions were pruned
+            # from pending storage (streaming/txingest.py) — nothing to do
+            return {"watermark": prev_w, "applied_tables": [], "stats": {}}
         if w < prev_w:
             raise ValueError(
                 f"watermark moved backwards: {w} < committed {prev_w} "
-                "(the event log must be append-only)")
+                "(the un-pruned event log must be append-only)")
         applicable = events.filter(F.col("tx_id") <= F.lit(w))
         names = sorted(r[0] for r in
                        applicable.select("table").distinct().collect())

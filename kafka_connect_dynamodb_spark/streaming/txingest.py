@@ -1,0 +1,138 @@
+"""Continuous transaction-consistent ingestion: the streaming driver for
+:class:`..plans.transactions.TxCoordinator`.
+
+A Debezium-style stream interleaves data events (``tx_id``, ``table``,
+key/payload, ``_op``, ``_seq``) with transaction END boundaries (rows
+whose ``table`` is NULL and whose ``event_count`` declares the tx size).
+Micro-batches are arbitrary prefixes of that stream, so a batch routinely
+contains HALF of a transaction — the coordinator's contiguous-watermark
+rule is exactly what makes that safe, but it needs every not-yet-applied
+event to stay visible across batches. This driver gives it that:
+
+* each micro-batch lands in its own idempotent pending partition
+  (``pending/{events,bounds}/b<batch_id>/``, overwritten on redelivery);
+* the coordinator then re-applies over ALL pending rows — its watermark
+  monotonicity, per-table ``batch_id = watermark`` merge guards and
+  put-if-absent snapshot records make the re-apply exactly-once no
+  matter where a crash lands;
+* reads de-duplicate pending rows on the unique event ``_seq`` (and
+  boundaries on ``tx_id``), so :meth:`prune` — which consolidates
+  pending down to the not-yet-applied suffix — can crash between its
+  write and its deletes without ever double-counting an event into the
+  completeness check;
+* :meth:`prune` keeps pending bounded by the in-flight transaction tail,
+  not by stream history — the property that lets the loop run forever.
+
+Pinned by ``tests/test_txingest.py``: drained stream == one-shot batch
+apply; mid-stream snapshots hold back half-arrived transactions;
+redelivery and crash-between-prune-steps reproduce identical state.
+
+Extends the engine beyond the reference (single-table, transaction-free
+DynamoDB streams — ``DynamoDBSourceTask.java``); the transaction contract
+follows Debezium's public transaction-metadata design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.transactions import TxCoordinator
+
+
+class TxIngest:
+    """foreachBatch driver for continuous transaction-consistent apply."""
+
+    def __init__(self, spark: SparkSession, coord: TxCoordinator,
+                 pending_root: str):
+        self.spark = spark
+        self.coord = coord
+        self.root = pending_root.rstrip("/")
+
+    # ----------------------------------------------------------- pending
+    def _dirs(self, kind: str) -> list[str]:
+        base = f"{self.root}/{kind}"
+        io = self.coord.io
+        if not io.is_dir(base):
+            return []
+        return sorted(f"{base}/{d}" for d in io.list_dir(base)
+                      if d[:1] in ("b", "c"))
+
+    def pending_events(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self._dirs("events")
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs).dropDuplicates(["_seq"])
+
+    def pending_bounds(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self._dirs("bounds")
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs).dropDuplicates(["tx_id"])
+
+    # ------------------------------------------------------------- batch
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Land the batch in its pending partition, then group-apply over
+        everything pending. Idempotent: redelivery overwrites the same
+        partition and the coordinator re-apply is a guarded no-op."""
+        spark = batch.sparkSession
+        ev = batch.filter(F.col("table").isNotNull()).drop("event_count")
+        bd = (batch.filter(F.col("table").isNull())
+              .select("tx_id", "event_count"))
+        ev.write.mode("overwrite").parquet(
+            f"{self.root}/events/b{batch_id}")
+        bd.write.mode("overwrite").parquet(
+            f"{self.root}/bounds/b{batch_id}")
+        self.coord.apply(self.pending_events(spark),
+                         self.pending_bounds(spark))
+
+    # ------------------------------------------------------------- prune
+    def prune(self, spark: SparkSession) -> int:
+        """Consolidate pending down to rows of transactions ABOVE the
+        committed watermark, then drop the superseded partitions. Crash-
+        safe by construction: the consolidated partition is written before
+        any delete, and reads de-duplicate, so the overlap window double-
+        counts nothing. Returns the number of partitions dropped."""
+        snap = self.coord.snapshot()
+        w = snap["watermark"] if snap else -1
+        io = self.coord.io
+        dropped = 0
+        for kind in ("events", "bounds"):
+            old = self._dirs(kind)
+            if not old:
+                continue
+            # compact epochs strictly increase, so the target dir is never
+            # one of the dirs being read (no self-overwrite race) — a crash
+            # between the write and the deletes only leaves deduped overlap
+            epoch = 1 + max((int(d.rsplit("/", 1)[1][1:]) for d in old
+                             if d.rsplit("/", 1)[1].startswith("c")),
+                            default=0)
+            keep = (spark.read.parquet(*old)
+                    .dropDuplicates(["_seq" if kind == "events"
+                                     else "tx_id"])
+                    .filter(F.col("tx_id") > F.lit(w)))
+            keep.write.mode("overwrite").parquet(
+                f"{self.root}/{kind}/c{epoch}")
+            for d in old:
+                io.remove_tree(d)
+                dropped += 1
+        return dropped
+
+    # ------------------------------------------------------------ stream
+    def start(self, source_dir: str, checkpoint_dir: str, *,
+              schema: T.StructType | None = None,
+              max_files_per_trigger: int = 1,
+              available_now: bool = True):
+        spark = self.spark
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        writer = (reader.writeStream
+                  .foreachBatch(self.apply_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
