@@ -777,3 +777,55 @@ def winnow_match_pairs(df: DataFrame, *, id_col: str = "doc_id",
                      F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= F.lit(min_shared)))
+
+
+def winnow_index(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 8,
+                 window: int = 4) -> DataFrame:
+    """Winnowing fingerprint index at rest: distinct ``(fp_hash, id)``
+    rows for the corpus. Persist with ``.write.bucketBy(N, "fp_hash")``
+    (or sorted parquet) so per-increment probes shuffle only the
+    increment. Fingerprints are computed per document with NO corpus
+    dependence, so the incremental path is EXACT (unlike the near-dup
+    loop's sticky-owner approximation): probing an increment against the
+    index equals running :func:`winnow_match_pairs` over corpus ∪
+    increment restricted to cross/increment pairs."""
+    return (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                                k=k, window=window)
+            .select("fp_hash", "id").distinct())
+
+
+def incremental_winnow_matches(new_docs: DataFrame, index: DataFrame, *,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 8,
+                               window: int = 4, min_shared: int = 2,
+                               max_bucket: int = 50) -> DataFrame:
+    """MOSS match pairs for an ingest INCREMENT against a persisted
+    :func:`winnow_index`: pairs (``id_new``, ``id_idx``, ``n_shared``)
+    between new documents and already-indexed ones, plus new-vs-new pairs
+    (``id_idx`` from the increment itself), thresholded at
+    ``min_shared`` shared fingerprint hashes.
+
+    Scale shape: the increment's distinct (hash, id) rows LEFT-probe the
+    index on the hash — no corpus re-scan, no index-side shuffle with a
+    bucketed index; the frequency cap is applied on the COMBINED per-hash
+    doc count so boilerplate hashes stay dropped as the corpus grows.
+    Merge the increment into the index with a plain union-distinct (or
+    an append of the increment's :func:`winnow_index` rows)."""
+    inc = winnow_index(new_docs, id_col=id_col, text_col=text_col,
+                       k=k, window=window)
+    combined = index.select("fp_hash", "id").union(inc)
+    cnt = (combined.groupBy("fp_hash").agg(F.count("*").alias("_n"))
+           .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+           .select("fp_hash"))
+    inc_ok = inc.join(cnt, "fp_hash")
+    all_ok = combined.join(cnt, "fp_hash")
+    a, b = inc_ok.alias("a"), all_ok.alias("b")
+    return (a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("id_new"),
+                    F.col("b.id").alias("id_idx"), F.col("a.fp_hash"))
+            .distinct()
+            .groupBy("id_new", "id_idx")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(min_shared)))

@@ -1125,3 +1125,37 @@ def test_winnow_match_pairs_and_digest_shuffle_free(spark):
     # digest stage is a pure projection — no exchange in the physical plan
     qe = winnow_digest(df.coalesce(8))._jdf.queryExecution()
     assert "Exchange" not in qe.executedPlan().toString()
+
+
+def test_incremental_winnow_matches_equals_batch_over_union(spark):
+    """EXACT incremental contract: probing an increment against the
+    persisted fingerprint index reproduces the batch pair set over
+    corpus ∪ increment, restricted to pairs touching the increment."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        incremental_winnow_matches, winnow_index, winnow_match_pairs)
+    import random
+    rng = random.Random(13)
+    def rnd(n):
+        return " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                    "epsilon"]) for _ in range(n))
+    shared = "a long shared boilerplate sentence that winnows well"
+    corpus = [(f"c{i}", rnd(10) + " " + (shared if i % 3 == 0 else rnd(8)))
+              for i in range(12)]
+    inc = [(f"n{i}", (shared if i % 2 == 0 else rnd(14)) + " " + rnd(6))
+           for i in range(6)]
+    K, W, MS = 8, 4, 2
+    cdf = spark.createDataFrame(corpus, "doc_id string, text string")
+    idf = spark.createDataFrame(inc, "doc_id string, text string")
+    idx = winnow_index(cdf, k=K, window=W)
+    got = {}
+    for r in incremental_winnow_matches(idf, idx, k=K, window=W,
+                                        min_shared=MS).collect():
+        got[tuple(sorted((r.id_new, r.id_idx)))] = r.n_shared
+    union = cdf.unionByName(idf)
+    inc_ids = {d for d, _ in inc}
+    want = {}
+    for r in winnow_match_pairs(union, k=K, window=W,
+                                min_shared=MS).collect():
+        if r.id_a in inc_ids or r.id_b in inc_ids:
+            want[tuple(sorted((r.id_a, r.id_b)))] = r.n_shared
+    assert got == want and want, (len(got), len(want))
