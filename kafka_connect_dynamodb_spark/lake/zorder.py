@@ -20,15 +20,36 @@ Pipeline (all engine-side, no UDF):
 4. the writer range-repartitions on (bucket, z) and sorts within
    partitions, so each output file covers one contiguous z-range.
 
-Numeric columns only by contract (quantile boundaries are numeric); hash
-or dictionary-encode strings to integers first. NULLs rank 0 (the lowest
-z-region), matching NULLS FIRST linear sorts.
+Numeric columns rank directly; STRING columns rank through an
+order-preserving numeric key (first 8 UTF-8 bytes, big-endian — the same
+truncation trick Delta's ZORDER applies to strings), so z-ordering a URL
+or domain column Just Works. NULLs rank 0 (the lowest z-region),
+matching NULLS FIRST linear sorts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _str_key(col: Column) -> Column:
+    """Order-preserving numeric key for a string: first 8 UTF-8 bytes,
+    big-endian, right-padded with 0x00 (so a prefix sorts before its
+    continuations), read as an unsigned 64-bit value. Strings equal in
+    their first 8 bytes collapse to one rank — exactly the resolution a
+    2^bits quantile rank keeps anyway."""
+    h = F.rpad(F.hex(F.encode(F.substring(col, 1, 8), "UTF-8")), 16, "0")
+    return F.conv(h, 16, 10).cast("decimal(38,0)").cast("double")
+
+
+def _rank_input(df: DataFrame, c: str) -> Column:
+    """The numeric expression a z-column ranks on: the column itself for
+    numerics, the order-preserving prefix key for strings."""
+    if isinstance(df.schema[c].dataType, T.StringType):
+        return _str_key(F.col(c))
+    return F.col(c).cast("double")
 
 
 def zorder_boundaries(df: DataFrame, cols: list[str], *,
@@ -36,7 +57,7 @@ def zorder_boundaries(df: DataFrame, cols: list[str], *,
                       accuracy: int = 10_000) -> dict[str, list[float]]:
     """Per-column approx-quantile boundaries (2^bits - 1 cuts), ONE job."""
     probes = [i / (1 << bits) for i in range(1, 1 << bits)]
-    aggs = [F.percentile_approx(F.col(c).cast("double"), probes, accuracy)
+    aggs = [F.percentile_approx(_rank_input(df, c), probes, accuracy)
              .alias(c) for c in cols]
     row = df.agg(*aggs).first()
     return {c: [float(x) for x in (row[c] or [])] for c in cols}
@@ -86,5 +107,5 @@ def with_zvalue(df: DataFrame, cols: list[str], *, bits: int = 8,
     bits = min(bits, 63 // max(len(cols), 1))
     if boundaries is None:
         boundaries = zorder_boundaries(df, cols, bits=bits)
-    ranks = [rank_expr(F.col(c), boundaries[c]) for c in cols]
+    ranks = [rank_expr(_rank_input(df, c), boundaries[c]) for c in cols]
     return df.withColumn(out_col, zvalue_expr(ranks, bits=bits))

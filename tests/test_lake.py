@@ -470,3 +470,43 @@ def test_read_key_stats_pruned_after_zorder(spark, tmp_path, monkeypatch):
     got = t.read_key(spark, {"k": 17}).collect()
     assert [r.content for r in got] == ["v17"]
     assert seen and seen[-1] < n_files
+
+
+def test_zorder_string_column_prunes_and_scans_exact(spark, tmp_path):
+    """Z-order on a STRING column (URL-shaped): the order-preserving
+    8-byte-prefix key must give tight per-file ranges so both the string
+    and the numeric z-column prune, with exact scan results."""
+    rows = [(f"dom{i:03d}.com/page{j}", i * 31 + j, f"c{i}-{j}")
+            for i in range(40) for j in range(10)]
+    t = LakeTable(str(tmp_path / "t"))
+    t.create(spark, spark.createDataFrame(
+        rows, "url string, rank long, content string"),
+        ["url"], n_buckets=1)
+    t.compact(spark, zorder_cols=["url", "rank"], zorder_files_per_bucket=8)
+    n_files = len(t.manifest().files)
+    assert n_files > 1
+    preds = [("url", ">=", "dom005.com"), ("url", "<=", "dom009.com/z")]
+    assert len(t.pruned_entries(preds)) < n_files
+    got = sorted(r.url for r in t.scan(spark, preds).collect())
+    exp = sorted(u for u, _, _ in rows if "dom005.com" <= u <= "dom009.com/z")
+    assert got == exp
+    assert len(t.pruned_entries([("rank", ">=", 1000),
+                                 ("rank", "<=", 1100)])) < n_files
+
+
+def test_zorder_string_key_order_preserving(spark):
+    """_str_key is monotone in the first-8-byte prefix order and collapses
+    prefix ties (the truncation contract)."""
+    from kafka_connect_dynamodb_spark.lake.zorder import _str_key
+    vals = ["", "a", "ab", "abc", "abcdefgh", "abcdefghZZZ", "b", "zz",
+            "domain.com/x", "domain.com/y", "example.org", "aaa", "a`"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    ks = {r.s: r.k for r in
+          df.select("s", _str_key(F.col("s")).alias("k")).collect()}
+    for a in vals:
+        for b in vals:
+            pa, pb = a.encode()[:8], b.encode()[:8]
+            if pa < pb:
+                assert ks[a] < ks[b], (a, b)
+            elif pa == pb:
+                assert ks[a] == ks[b], (a, b)
