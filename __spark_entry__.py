@@ -1934,6 +1934,42 @@ def q_cdc_tx_consistent_apply(spark, sf_dir):
     return out.orderBy("tname", "k")
 
 
+def _messy_url():
+    """Deterministic messy URLs for the documents table (the injection
+    precedent): scheme/host case noise, a default :80 port, shuffled query
+    params, tracking params and fragments — all of which canonicalization
+    must collapse."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://"),
+        F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 100).cast("string"),
+        F.when(d % 2 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+         .otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (the first stage of every
+    web-crawl pipeline): scheme/host lowercasing, default-port and
+    fragment stripping, tracking-param removal, query-param sort — then
+    group by the canonical form. Case/port/param-order/tracking variants
+    of the same logical URL collapse into one group (5 raw variants per
+    canonical at sf0.01). Pure expressions; one hash aggregate."""
+    from kafka_connect_dynamodb_spark.functions.urls import canonical_url
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _messy_url().alias("url"))
+    return (raw.select("doc_id", "url",
+                       canonical_url(F.col("url")).alias("canon"))
+            .groupBy("canon")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("url").alias("n_raw_variants"),
+                 F.min("doc_id").alias("rep_doc_id"))
+            .orderBy("canon"))
+
+
 def q_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split: sha-minhash LSH near-dup pairs
     -> connected components -> split assigned by the portable hash of the
@@ -2190,6 +2226,58 @@ def _line_dedup_oracle(n: int = 6, min_docs: int = 2) -> str:
                    CAST(rm AS DOUBLE) / greatest(tot, 1) AS removed_char_frac,
                    text
             FROM agg ORDER BY doc_id"""
+
+
+_URL_CANON_ORACLE = r"""
+    WITH raw AS (SELECT doc_id,
+            'HTTP://' ||
+            CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+            '.Example.COM' ||
+            CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+            '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                 ELSE '?a=1&b=2' END ||
+            CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents),
+    s1 AS (SELECT doc_id, url,
+             regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT *,
+             regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+               AS scheme FROM s1),
+    s3 AS (SELECT *, CASE WHEN scheme <> ''
+                          THEN substring(u, length(scheme) + 4)
+                          ELSE u END AS after FROM s2),
+    s4 AS (SELECT *, regexp_extract(after, '^([^/?]*)', 1) AS hostport
+           FROM s3),
+    s5 AS (SELECT *, substring(after, length(hostport) + 1) AS tail,
+             lower(scheme) AS lscheme,
+             CASE WHEN lower(scheme) = 'http'
+                    THEN regexp_replace(lower(hostport), ':80$', '')
+                  WHEN lower(scheme) = 'https'
+                    THEN regexp_replace(lower(hostport), ':443$', '')
+                  ELSE lower(hostport) END AS lhost
+           FROM s4),
+    s6 AS (SELECT *, regexp_extract(tail, '^([^?]*)', 1) AS path FROM s5),
+    s7 AS (SELECT *,
+             CASE WHEN length(tail) > length(path)
+                  THEN substring(tail, length(path) + 2) ELSE '' END
+               AS query FROM s6),
+    s8 AS (SELECT *, array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)'))), '&')
+             AS qnorm FROM s7),
+    canon AS (SELECT doc_id, url,
+                (CASE WHEN scheme <> ''
+                      THEN lscheme || '://' || lhost
+                      ELSE hostport END) || path ||
+                (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END)
+                  AS canon
+              FROM s8)
+    SELECT canon, count(*) AS n_urls,
+           count(DISTINCT url) AS n_raw_variants,
+           min(doc_id) AS rep_doc_id
+    FROM canon GROUP BY canon ORDER BY canon"""
 
 
 _TX_APPLY_ORACLE = f"""
@@ -2597,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_digest": q_winnow_fingerprint_digest,
         "cluster_safe_split": q_cluster_safe_split,
         "cdc_tx_consistent_apply": q_cdc_tx_consistent_apply,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "winnow_match_pairs": q_winnow_match_pairs,
         "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -2994,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_digest": _winnow_digest_oracle(),
         "cluster_safe_split": _cluster_safe_split_oracle(),
         "cdc_tx_consistent_apply": _TX_APPLY_ORACLE,
+        "url_canonical_dedup": _URL_CANON_ORACLE,
         "winnow_match_pairs": _winnow_pairs_oracle(),
         "neardup_banded_pairs": _neardup_owner_oracle(),
     }

@@ -1,0 +1,54 @@
+"""canonical_url: scheme/host lowercasing, default-port/fragment strip,
+tracking-param removal, query sort — hand-built cases + invariants."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_dynamodb_spark.functions.urls import canonical_url
+
+
+CASES = [
+    ("HTTP://Example.COM:80/Path/Page?b=2&a=1&utm_source=x#frag",
+     "http://example.com/Path/Page?a=1&b=2"),
+    ("https://EXAMPLE.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+    ("http://a.b/?utm_campaign=z&gclid=123", "http://a.b/"),
+    ("http://a.b/p?fbclid=1&z=9&y=8", "http://a.b/p?y=8&z=9"),
+    ("  http://a.b/p  ", "http://a.b/p"),
+    ("example.com/path?b=1&a=2#f", "example.com/path?a=2&b=1"),   # schemeless
+    ("http://a.b", "http://a.b"),
+    ("http://a.b?x=1", "http://a.b?x=1"),
+    ("ftp://Host.Com:21/f", "ftp://host.com:21/f"),   # :21 not a default we strip
+    ("http://a.b/p?utm=keepme", "http://a.b/p?utm=keepme"),  # 'utm' != 'utm_*'
+    (None, None),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               "i long, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, exp) in enumerate(CASES):
+        assert got[i] == exp, (u, got[i], exp)
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalizing a canonical URL is a fixpoint."""
+    urls = [u for u, _ in CASES if u is not None]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(F.col("c").alias("a"),
+                        canonical_url(F.col("c")).alias("b"))
+    assert all(r.a == r.b for r in twice.collect())
+
+
+def test_canonical_url_collapses_variants(spark):
+    variants = [
+        "http://Site.com/x?a=1&b=2",
+        "HTTP://site.COM:80/x?b=2&a=1",
+        "http://site.com/x?b=2&utm_medium=m&a=1#sec",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == {"http://site.com/x?a=1&b=2"}
