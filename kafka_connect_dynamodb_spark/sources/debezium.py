@@ -178,3 +178,44 @@ def debezium_export(feed: DataFrame, *,
     # (harmless to LWW replayers, wrong for at-face-value consumers)
     return feed.filter(~op.isin("pu", "pd")).select(
         F.to_json(F.struct(payload.alias("payload"))).alias(value_col))
+
+
+def debezium_snapshot_export(rows: DataFrame, *,
+                             payload_fields: tuple[str, ...] = None,
+                             table_name: str = "table",
+                             seq_col: str | None = None,
+                             pos: int = 0,
+                             ts_ms_col: str | None = None,
+                             value_col: str = "value") -> DataFrame:
+    """Snapshot ('r') envelopes for a full table state — the Debezium
+    twin of the reference's INIT_SYNC output direction
+    (``DynamoDBSourceTask.java`` emits every snapshot row before the
+    stream tail; Debezium sources emit the same as op ``r`` reads).
+    Feed it ``LakeTable.read(...)`` — or a
+    :meth:`..plans.transactions.TxCoordinator.read_consistent` frame per
+    table, which makes the exported snapshot CROSS-TABLE consistent (all
+    tables at one coordinated watermark).
+
+    ``seq_col`` (when the read carried ``include_meta``/``_seq``) becomes
+    ``source.sequence`` so a replayer keeps per-key ordering against later
+    change envelopes; otherwise sequence exports as '0' (snapshot-before-
+    stream semantics). All to_json/struct rebuilds, JVM-side."""
+    from kafka_connect_dynamodb_spark.functions.envelope import PAYLOAD_FIELDS
+    payload_fields = tuple(payload_fields or PAYLOAD_FIELDS)
+    row_struct = F.struct(*[F.col(f).cast("string").alias(f)
+                            for f in payload_fields])
+    ts_ms = (F.col(ts_ms_col).cast("long") if ts_ms_col
+             else F.lit(0).cast("long"))
+    seq = (F.col(seq_col).cast("string") if seq_col else F.lit("0"))
+    payload = F.struct(
+        F.lit(None).cast(rows.select(row_struct.alias("x")).schema["x"]
+                         .dataType).alias("before"),
+        row_struct.alias("after"),
+        F.lit("r").alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(F.lit(table_name).alias("table"),
+                 seq.alias("sequence"),
+                 F.lit(int(pos)).cast("long").alias("pos")).alias("source"),
+    )
+    return rows.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias(value_col))

@@ -183,3 +183,74 @@ def test_debezium_imageless_rows_are_droppable(spark):
     kept = [r for r in out if r.keys is not None]
     assert len(kept) == 1 and kept[0].event_name == "INSERT"
     assert '"{}"' not in json.dumps([r.keys for r in out])
+
+
+def test_debezium_snapshot_export_bootstraps_fresh_table(spark, tmp_path):
+    """Snapshot ('r') export: table A's full state exported as Debezium
+    read envelopes, ingested through the unchanged inbound adapter into an
+    EMPTY pipeline B (snapshot-as-stream bootstrap), reproduces A."""
+    from kafka_connect_dynamodb_spark.sources.debezium import (
+        debezium_snapshot_export, debezium_to_events)
+    from kafka_connect_dynamodb_spark.streaming import tail
+
+    base = source_table(spark, 90)
+    ev = change_events(spark, 90, 600, pre_init_frac=0.0)
+    log = str(tmp_path / "log")
+    ev.write.parquet(log)
+
+    a = LakeTable(str(tmp_path / "a"))
+    pa = CdcPipeline(spark, a, n_buckets=8,
+                     clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pa.init_sync(base)
+    tail.drain(tail.start_tail(spark, log, a,
+                               checkpoint_dir=str(tmp_path / "cpa"),
+                               available_now=True,
+                               init_sync_start=DEFAULT_BASE_TS))
+
+    ts_ms = int(DEFAULT_BASE_TS.timestamp() * 1000)
+    env = debezium_snapshot_export(
+        a.read(spark).withColumn("_ts_ms", F.lit(ts_ms)),
+        table_name="repo_files", ts_ms_col="_ts_ms")
+    frame = debezium_to_events(env)
+    # every snapshot row is an op-'r' INSERT-equivalent with a full image
+    b = LakeTable(str(tmp_path / "b"))
+    pb = CdcPipeline(spark, b, n_buckets=8,
+                     clock=lambda: DEFAULT_BASE_TS.timestamp())
+    pb.init_sync(a.read(spark).limit(0))          # empty snapshot
+    pb.sync_batch(frame, 0)
+
+    sha = lambda t: {(r["repo"], r["path"]):  # noqa: E731
+                     hashlib.sha256((r["content"] or "").encode()).hexdigest()
+                     for r in t.read(spark).collect()}
+    assert sha(b) == sha(a) and sha(a)
+
+
+def test_debezium_consistent_snapshot_export_across_tables(spark, tmp_path):
+    """TxCoordinator.read_consistent feeds the snapshot exporter: with a
+    torn underlying state (table a committed past table b), the exported
+    snapshots still reflect ONE coordinated watermark for both tables."""
+    from kafka_connect_dynamodb_spark.plans.transactions import TxCoordinator
+    from kafka_connect_dynamodb_spark.sources.debezium import (
+        debezium_snapshot_export)
+
+    coord = TxCoordinator(spark, str(tmp_path / "lake"), key_cols=["k"])
+    ev = spark.createDataFrame(
+        [(1, "a", 1, "a1", "c", 1), (1, "b", 1, "b1", "c", 2),
+         (2, "a", 1, "a2", "u", 3), (2, "b", 1, "b2", "u", 4)],
+        "tx_id long, table string, k long, v string, _op string, _seq long")
+    bd = spark.createDataFrame([(1, 2), (2, 2)],
+                               "tx_id long, event_count long")
+    # apply only tx 1 via the coordinator
+    coord.apply(ev.filter("tx_id = 1"), bd.filter("tx_id = 1"))
+    # table a secretly advanced OUTSIDE the coordinator (torn state)
+    coord.table("a").merge(
+        spark, ev.filter("tx_id = 2 and table = 'a'").drop("tx_id", "table"),
+        batch_id=99, source="rogue")
+    import json
+    for name in ("a", "b"):
+        env = debezium_snapshot_export(
+            coord.read_consistent(spark, name),
+            payload_fields=("k", "v"), table_name=name)
+        rows = [json.loads(r.value)["payload"] for r in env.collect()]
+        assert [r["after"]["v"] for r in rows] == [f"{name}1"], name
+        assert all(r["op"] == "r" for r in rows)
