@@ -1243,7 +1243,8 @@ def q_multimodal_features(spark, sf_dir):
 # Generated oracle SQL (hash pipelines inlined so DuckDB reproduces bits)
 # --------------------------------------------------------------------------
 
-def _minhash_ctes(num_hashes=16, bands=4, max_bucket=50) -> str:
+def _minhash_ctes(num_hashes=16, bands=4, max_bucket=50,
+                  src="documents") -> str:
     rows = num_hashes // bands
     mins = ",\n                   ".join(
         f"list_aggregate(list_transform(sh, s -> sha256('{i}:' || s)), 'min') AS m{i}"
@@ -1253,7 +1254,7 @@ def _minhash_ctes(num_hashes=16, bands=4, max_bucket=50) -> str:
             b=b, ms=", ".join(f"m{b * rows + r}" for r in range(rows)))
         for b in range(bands))
     return f"""
-            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM {src}),
             sh AS (SELECT doc_id,
                      list_distinct(list_transform(range(1, greatest(len(tk)-2, 1)+1),
                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh FROM toks),
@@ -1934,6 +1935,39 @@ def q_cdc_tx_consistent_apply(spark, sf_dir):
     return out.orderBy("tname", "k")
 
 
+def q_corpus_curate_e2e(spark, sf_dir):
+    """The whole curation pipeline composed END-TO-END as one declarative
+    plan: (1) corpus_clean's keep set (canonical copy per content hash,
+    quality >= 0.2, marker language agreeing with the label), (2)
+    sha-minhash LSH near-dup pairs among the SURVIVORS, (3) connected-
+    component clusters with min-id representatives, (4) leakage-safe
+    split by the cluster hash. One row per cleaned doc: its cluster, its
+    split, and whether it is the cluster's representative (what a
+    downstream trainer actually consumes). Every stage is itself a
+    certified operator; this row certifies their composition."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        exact_duplicates, minhash_lsh_candidates_sha)
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        cluster_safe_split)
+    from kafka_connect_dynamodb_spark.operators.text import (
+        lang_id, quality_features)
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    q = quality_features(docs).select("doc_id", "quality_score")
+    lg = lang_id(docs).select("doc_id", "lang", "lang_pred")
+    clean_ids = (keep.join(q, "doc_id").join(lg, "doc_id")
+                 .filter((F.col("quality_score") >= 0.2)
+                         & (F.col("lang_pred") == F.col("lang")))
+                 .select("doc_id"))
+    cleaned = docs.join(clean_ids, "doc_id")
+    pairs = minhash_lsh_candidates_sha(cleaned)
+    out = cluster_safe_split(cleaned, pairs)
+    return (out.select("doc_id", "cluster_id", "split",
+                       (F.col("doc_id") == F.col("cluster_id"))
+                       .alias("is_rep"))
+            .orderBy("doc_id"))
+
+
 def _messy_url():
     """Deterministic messy URLs for the documents table (the injection
     precedent): scheme/host case noise, a default :80 port, shuffled query
@@ -2302,6 +2336,58 @@ _TX_APPLY_ORACLE = f"""
     SELECT t AS tname, k, v FROM last WHERE op <> 'd' ORDER BY tname, k"""
 
 
+def _corpus_curate_e2e_oracle(salt: str = "split") -> str:
+    """SQL mirror of q_corpus_curate_e2e: the corpus_clean keep set, the
+    sha-minhash banding CTEs re-rooted on the cleaned docs, the recursive
+    transitive closure, and the split-hash arithmetic — each stage the
+    byte-identical twin of its standalone certified oracle."""
+    from kafka_connect_dynamodb_spark.operators.sampling import (
+        threshold_for)
+    t1, t2 = threshold_for(0.90), threshold_for(0.95)
+    mh = _minhash_ctes(src="cdocs").strip()
+    assert mh.startswith("WITH ")
+    return f"""
+            WITH RECURSIVE q AS ({_QUALITY_SQL}),
+            l AS ({_LANG_SQL}),
+            norm AS (SELECT doc_id,
+                       sha256(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g')) AS h
+                     FROM documents),
+            keepx AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+            clean AS (SELECT q.doc_id FROM keepx
+                      JOIN q ON q.doc_id = keepx.doc_id
+                      JOIN l ON l.doc_id = keepx.doc_id
+                      WHERE q.quality_score >= 0.2
+                        AND l.lang_pred = l.lang_true),
+            cdocs AS (SELECT d.* FROM documents d JOIN clean
+                      USING (doc_id)),
+            {mh[5:]},
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bm a JOIN bm b USING (band, bh)
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            asg AS (SELECT d.doc_id,
+                      coalesce(comp.component, d.doc_id) AS cluster_id
+                    FROM cdocs d LEFT JOIN comp ON d.doc_id = comp.id),
+            hs AS (SELECT doc_id, cluster_id,
+                     CAST('0x' || substr(sha256('{salt}'
+                          || CAST(cluster_id AS VARCHAR)), 1, 13) AS BIGINT)
+                       AS h
+                   FROM asg)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN h < {t1} THEN 'train'
+                        WHEN h < {t2} THEN 'val'
+                        ELSE 'test' END AS split,
+                   doc_id = cluster_id AS is_rep
+            FROM hs ORDER BY doc_id"""
+
+
 def _cluster_safe_split_oracle(salt: str = "split") -> str:
     """SQL mirror of q_cluster_safe_split: the dedup_cluster oracle's
     recursive transitive closure over the same sha-minhash edge set, then
@@ -2649,14 +2735,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shard_max_seq": q_cdc_shard_max_seq,
         "cdc_preinit_window_filter": q_cdc_preinit_window_filter,
         "cdc_danger_zone_detect": q_cdc_danger_zone_detect,
-        "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "cdc_dedup_deliveries": q_cdc_dedup_deliveries,
         "q1_pricing_summary": q_q1_pricing_summary,
         "cdc_incremental_agg_view": q_cdc_incremental_agg_view,
         "topk_per_group": q_topk_per_group,
         "debezium_roundtrip": q_debezium_roundtrip,
         "unigram_lm_quality": q_unigram_lm_quality,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
         "grouping_sets_order_stats": q_grouping_sets_order_stats,
         "neardup_banded_pairs": q_neardup_banded_pairs,
         "q5_region_revenue": q_q5_region_revenue,
@@ -2666,19 +2750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "user_sessions": q_user_sessions,
         "exact_price_quantiles": q_exact_price_quantiles,
-        "exact_dedup_docs": q_exact_dedup_docs,
         "bm25_ranking": q_bm25_ranking,
         "dup_span_fraction": q_dup_span_fraction,
         "minhash_jaccard_verified": q_minhash_jaccard_verified,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_trim_spans": q_corpus_trim_spans,
-        "dup_ngram_stats": q_dup_ngram_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "pii_redaction": q_pii_redaction,
-        "lang_id_docs": q_lang_id_docs,
         "pack_training_sequences": q_pack_training_sequences,
         "gopher_quality": q_gopher_quality,
-        "corpus_clean": q_corpus_clean,
         "gopher_repetition": q_gopher_repetition,
         "line_dedup_docs": q_line_dedup_docs,
         "intradoc_line_dedup": q_intradoc_line_dedup,
@@ -2686,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "cdc_tx_consistent_apply": q_cdc_tx_consistent_apply,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "corpus_curate_e2e": q_corpus_curate_e2e,
         "winnow_match_pairs": q_winnow_match_pairs,
         "cdc_scd2_history": q_cdc_scd2_history,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -2693,7 +2774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "zorder_pruned_scan": q_zorder_pruned_scan,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
-        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "knn_join_lsh": q_knn_join_lsh,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_salted_hot_key_agg": q_cdc_salted_hot_key_agg,
@@ -2771,21 +2851,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_danger, count(DISTINCT user_id) AS n_keys_affected
             FROM events
             WHERE ts <= (SELECT max(ts) - INTERVAL 20 HOUR FROM events)""",
-        "dedup_cluster_representatives": _minhash_ctes().replace(
-            "WITH toks", "WITH RECURSIVE toks", 1) + """,
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bm a JOIN bm b USING (band, bh)
-                     WHERE a.doc_id < b.doc_id),
-            edges AS (SELECT id_a AS a, id_b AS b FROM cand
-                      UNION SELECT id_b, id_a FROM cand),
-            reach(id, r) AS (
-                SELECT a, a FROM edges
-                UNION
-                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-            ORDER BY doc_id""",
         "cdc_dedup_deliveries": """
             SELECT event_type, count(*) AS n_raw,
                    count(DISTINCT event_id) AS n_unique
@@ -2865,19 +2930,6 @@ def oracle_sql() -> dict[str, str]:
                    seq AS last_seq
             FROM last ORDER BY user_id""",
         "unigram_lm_quality": _unigram_lm_oracle(nll_threshold=3.45),
-        "tf_idf_top_terms": f"""
-            WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
-                          FROM documents),
-            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(*) AS n FROM documents),
-            s AS (SELECT doc_id, token, tf, df,
-                         tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
-                  FROM tf JOIN dfq USING (token) CROSS JOIN n),
-            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                      ORDER BY CAST(tfidf AS REAL) DESC, token) AS rk FROM s)
-            SELECT doc_id, token, tf, df, CAST(tfidf AS REAL) AS tf_idf_f32, rk
-            FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
         "grouping_sets_order_stats": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
@@ -2900,10 +2952,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                        AS DECIMAL(28,4))) DESC, n_name""",
-        "exact_dedup_docs": """
-            SELECT sha256(substr(text, 1, 64)) AS h, min(doc_id) AS keep_id,
-                   count(*) AS n_copies
-            FROM documents GROUP BY 1 ORDER BY h""",
         "bm25_ranking": f"""
             WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
                           FROM documents),
@@ -2963,17 +3011,6 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(ka.n_kept, 0) AS n_tokens_kept,
                    len(t.tk) AS n_tokens
             FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""",
-        "dup_ngram_stats": _dupwin_ctes(10) + """,
-            per_doc AS (SELECT g, doc_id, count(*) AS occ FROM wins
-                        GROUP BY 1, 2),
-            stats AS (SELECT g, count(*) AS n_docs, sum(occ) AS n_occ,
-                             string_agg(CAST(doc_id AS VARCHAR), ','
-                                        ORDER BY doc_id) AS ids
-                      FROM per_doc GROUP BY g)
-            SELECT n_docs, CAST(n_occ AS BIGINT) AS n_occurrences,
-                   CASE WHEN n_docs <= 10 THEN ids END AS example_docs
-            FROM stats WHERE n_docs >= 2
-            ORDER BY n_docs, n_occurrences, example_docs""",
         "simhash_near_dups": f"""
             WITH {_SIMHASH_CTE},
             chunks AS (SELECT doc_id, simhash_bits, c,
@@ -2993,7 +3030,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
             ORDER BY id_a, id_b""",
         "pii_redaction": _pii_oracle(),
-        "lang_id_docs": _LANG_SQL,
         "gopher_quality": _gopher_quality_oracle(),
         "pack_training_sequences": _PACK_ORACLE,
         "gopher_repetition": _gopher_oracle(),
@@ -3019,9 +3055,7 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS max_event_id
             FROM events GROUP BY 1 ORDER BY hot_key""",
         "multimodal_features": _MULTIMODAL_ORACLE,
-        "embedding_near_dup_pairs": _near_dup_lsh_oracle(0.36, 200),
         "knn_join_lsh": _knn_lsh_oracle(3),
-        "corpus_clean": _CORPUS_CLEAN_SQL,
         "asof_join_last_order": """
             WITH r AS (SELECT * FROM
                        (SELECT o_custkey, epoch_ms(o_orderdate) AS od_ms,
@@ -3084,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_safe_split": _cluster_safe_split_oracle(),
         "cdc_tx_consistent_apply": _TX_APPLY_ORACLE,
         "url_canonical_dedup": _URL_CANON_ORACLE,
+        "corpus_curate_e2e": _corpus_curate_e2e_oracle(),
         "winnow_match_pairs": _winnow_pairs_oracle(),
         "neardup_banded_pairs": _neardup_owner_oracle(),
     }
@@ -3602,6 +3637,32 @@ RETIRED_QUERIES = {
     # c/u/d decode itself stays certified inside cdc_apply_final_state
     # and debezium_roundtrip (both drive decode_op through the apply path).
     "cdc_op_decode": q_cdc_op_decode,
+    # r7d rotation: seven rows ceded slots to intradoc_line_dedup,
+    # winnow_fingerprint_digest, winnow_match_pairs, cluster_safe_split,
+    # cdc_tx_consistent_apply, url_canonical_dedup, corpus_curate_e2e
+    # (the gate caps at 50 driver rows). Machinery coverage by certified
+    # siblings: corpus_clean + lang_id_docs + exact_dedup_docs +
+    # dedup_cluster_representatives ⊂ corpus_curate_e2e (the composed row
+    # runs the SAME keep set - canonical copy per content hash, quality
+    # threshold, marker-language agreement - then the same sha-minhash
+    # banding, recursive-closure clusters and min-id representatives, so
+    # every stage stays value-pinned through the composition; the
+    # CC machinery is ALSO certified by cluster_safe_split);
+    # embedding_near_dup_pairs ⊂ knn_join_lsh (the identical hyperplane-
+    # LSH bucketed self-join and cosine fold, probe direction instead of
+    # pair direction) + ivf_pq_topk/ivf_pq_residual_topk (ADC retrieval);
+    # dup_ngram_stats ⊂ dup_span_fraction + corpus_trim_spans (the same
+    # _window_hashes detection CTEs; trim is the strict superset adding
+    # interval union + reconstruction); tf_idf_top_terms ⊂ bm25_ranking
+    # (same broadcast dfreq + WindowGroupLimit ranking, BM25's saturated
+    # tf strictly supersedes the raw tf-idf score path).
+    "dedup_cluster_representatives": q_dedup_cluster_representatives,
+    "tf_idf_top_terms": q_tf_idf_top_terms,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "lang_id_docs": q_lang_id_docs,
+    "corpus_clean": q_corpus_clean,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
 
 RETIRED_ORACLE_SQL = {
@@ -3731,6 +3792,52 @@ RETIRED_ORACLE_SQL = {
     "cdc_op_decode": f"""
         SELECT {_OP_SQL} AS op, count(*) AS n_events
         FROM events GROUP BY 1 ORDER BY op""",
+    "dedup_cluster_representatives": _minhash_ctes().replace(
+        "WITH toks", "WITH RECURSIVE toks", 1) + """,
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bm a JOIN bm b USING (band, bh)
+                 WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        ORDER BY doc_id""",
+    "tf_idf_top_terms": f"""
+        WITH toks AS (SELECT doc_id, unnest({_CTOKS_SQL}) AS token
+                      FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT doc_id, token, tf, df,
+                     tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY CAST(tfidf AS REAL) DESC, token) AS rk FROM s)
+        SELECT doc_id, token, tf, df, CAST(tfidf AS REAL) AS tf_idf_f32, rk
+        FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "exact_dedup_docs": """
+        SELECT sha256(substr(text, 1, 64)) AS h, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY h""",
+    "dup_ngram_stats": _dupwin_ctes(10) + """,
+        per_doc AS (SELECT g, doc_id, count(*) AS occ FROM wins
+                    GROUP BY 1, 2),
+        stats AS (SELECT g, count(*) AS n_docs, sum(occ) AS n_occ,
+                         string_agg(CAST(doc_id AS VARCHAR), ','
+                                    ORDER BY doc_id) AS ids
+                  FROM per_doc GROUP BY g)
+        SELECT n_docs, CAST(n_occ AS BIGINT) AS n_occurrences,
+               CASE WHEN n_docs <= 10 THEN ids END AS example_docs
+        FROM stats WHERE n_docs >= 2
+        ORDER BY n_docs, n_occurrences, example_docs""",
+    "lang_id_docs": _LANG_SQL,
+    "corpus_clean": _CORPUS_CLEAN_SQL,
+    "embedding_near_dup_pairs": _near_dup_lsh_oracle(0.36, 200),
 }
 
 BASELINE_ORACLE_SQL = {

@@ -111,6 +111,8 @@ R7_OPS = [
     "winnow_match_pairs",
     "cluster_safe_split",
     "cdc_tx_consistent_apply",
+    "url_canonical_dedup",
+    "corpus_curate_e2e",
 ]
 
 

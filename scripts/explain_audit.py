@@ -364,6 +364,18 @@ QUERY_AUDIT = {
              "Scan parquet"),
             ("no Python anywhere", "EvalPython", False),
         ],
+        "url_canonical_dedup": [
+            ("pure-expression normalization, no Python", "EvalPython",
+             False),
+            ("map-side combined group counts", "HashAggregate"),
+            ("codegen", "codegen id"),
+        ],
+        "corpus_curate_e2e": [
+            ("no cartesian product anywhere in the composition",
+             "CartesianProduct", False),
+            ("no nested-loop join", "BroadcastNestedLoopJoin", False),
+            ("no Python anywhere", "EvalPython", False),
+        ],
     }
 
 
