@@ -169,3 +169,66 @@ def test_main_survives_campaign_crash(tmp_path, monkeypatch):
     log = (tmp_path / "watcher.log").read_text()
     assert "CRASHED/TIMED OUT" in log
     assert "watcher exit" in log
+
+
+def test_main_seeded_floors_accept_first_campaign(tmp_path, monkeypatch):
+    """WATCHER_FLOOR_LO/HI seed the session floors across restarts: a
+    symmetric over-the-bar FIRST campaign can stop a seeded watcher
+    (the floors are corroborated by the earlier run), and numbering
+    continues past existing campaign logs instead of overwriting them."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "campaign_auto_1.log").write_text("old evidence\n")
+    (tmp_path / "campaign_auto_2.log").write_text("old evidence\n")
+    monkeypatch.setenv("WATCHER_PROBE_DIR", str(tmp_path))
+    monkeypatch.setenv("WATCHER_FLOOR_LO", "80.0")
+    monkeypatch.setenv("WATCHER_FLOOR_HI", "24.0")
+    monkeypatch.setattr(sys, "argv", ["watcher.py", "1.0"])
+    monkeypatch.setattr(watcher, "run_probe", lambda d: 2.4)
+    monkeypatch.setattr(watcher.time, "sleep", lambda s: None)
+
+    summary = {"scaling_efficiency": 0.83,
+               "t_apply_low": 81.0, "t_apply_high": 24.4,
+               "t_apply_low_all": [81.0], "t_apply_high_all": [24.4]}
+    launches = []
+
+    def fake_run(cmd, stdout=None, stderr=None, timeout=None, env=None,
+                 **kw):
+        launches.append(cmd)
+        stdout.write(json.dumps(summary) + "\n")
+
+    monkeypatch.setattr(watcher.subprocess, "run", fake_run)
+    watcher.main()
+    log = (tmp_path / "watcher.log").read_text()
+    assert "floors seeded from env: (80.0,24.0)" in log
+    assert len(launches) == 1
+    assert "campaign auto3" in log          # numbering continued past 2
+    assert "TARGET MET symmetrically" in log
+    # the pre-existing logs were not overwritten
+    assert (tmp_path / "campaign_auto_1.log").read_text() == "old evidence\n"
+
+
+def test_main_seeded_floors_still_reject_contended_side(tmp_path,
+                                                        monkeypatch):
+    """Seeding must not weaken the rule: an over-the-bar ratio whose N
+    side runs hot against the seeded floor keeps the watcher hunting."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WATCHER_PROBE_DIR", str(tmp_path))
+    monkeypatch.setenv("WATCHER_FLOOR_LO", "80.0")
+    monkeypatch.setenv("WATCHER_FLOOR_HI", "24.0")
+    monkeypatch.setattr(sys, "argv", ["watcher.py", "0.002"])
+    monkeypatch.setattr(watcher, "run_probe", lambda d: 2.4)
+    monkeypatch.setattr(watcher.time, "sleep", lambda s: None)
+
+    summary = {"scaling_efficiency": 0.97,
+               "t_apply_low": 104.0, "t_apply_high": 26.8,   # N side hot
+               "t_apply_low_all": [104.0], "t_apply_high_all": [26.8]}
+
+    def fake_run(cmd, stdout=None, stderr=None, timeout=None, env=None,
+                 **kw):
+        stdout.write(json.dumps(summary) + "\n")
+
+    monkeypatch.setattr(watcher.subprocess, "run", fake_run)
+    watcher.main()
+    log = (tmp_path / "watcher.log").read_text()
+    assert "symmetric=False" in log
+    assert "TARGET MET" not in log
