@@ -291,6 +291,17 @@ def main() -> None:
               lambda: _force(incremental_neardup(increment, nidx)))
         timed("neardup_full_rebuild",
               lambda: _force(first_owner_pairs(docs)))
+
+        from kafka_connect_dynamodb_spark.operators.dedup import (
+            incremental_winnow_matches, winnow_index, winnow_match_pairs)
+        timed("winnow_index_build", lambda: winnow_index(corpus)
+              .write.parquet(os.path.join(iwork, "widx")))
+        widx = spark.read.parquet(os.path.join(iwork, "widx"))
+        _force(incremental_winnow_matches(increment, widx))      # warm
+        timed("winnow_increment_probe",
+              lambda: _force(incremental_winnow_matches(increment, widx)))
+        timed("winnow_full_rebuild",
+              lambda: _force(winnow_match_pairs(docs)))
     finally:
         shutil.rmtree(iwork, ignore_errors=True)
 
