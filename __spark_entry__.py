@@ -3477,8 +3477,28 @@ _CDC_VERSION_DIFF_ORACLE = f"""
     ORDER BY key"""
 
 
+
+def q_winnow_incremental_matches(spark, sf_dir):
+    """Incremental winnowing match probe as an oracle-able row (out-of-gate
+    candidate): corpus = docs with doc_id % 10 != 0, increment = the rest;
+    the increment's fingerprints LEFT-probe the persisted corpus index —
+    no corpus re-scan — and pairs touching the increment emerge with their
+    shared-hash counts. EXACT by construction (fingerprints have no corpus
+    dependence); measured 5x cheaper than the full rebuild at sf0.1
+    (bench incremental_ops section)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        incremental_winnow_matches, winnow_index)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = winnow_index(corpus, k=16, window=4)
+    return (incremental_winnow_matches(inc, idx, k=16, window=4,
+                                       min_shared=2)
+            .orderBy("id_new", "id_idx"))
+
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
+    "winnow_incremental_matches": q_winnow_incremental_matches,
     "scd2_temporal_join": q_scd2_temporal_join,
     "semdedup_prune": q_semdedup_prune,
     "ccnet_bigram_buckets": q_ccnet_bigram_buckets,
@@ -3486,6 +3506,17 @@ CANDIDATE_QUERIES = {
 }
 
 CANDIDATE_ORACLE_SQL = {
+    "winnow_incremental_matches": _winnow_ctes(16, 4) + """,
+            d AS (SELECT DISTINCT doc_id, h FROM sel),
+            ok AS (SELECT h FROM d GROUP BY h
+                   HAVING count(*) BETWEEN 2 AND 50),
+            sk AS (SELECT doc_id, h FROM d JOIN ok USING (h))
+            SELECT a.doc_id AS id_new, b.doc_id AS id_idx,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sk a JOIN sk b USING (h)
+            WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY id_new, id_idx""",
     "funnel_steps": """
         WITH e AS (SELECT DISTINCT user_id, event_type, ts FROM events
                    WHERE event_type IN ('signup', 'click', 'purchase')),
