@@ -1186,7 +1186,8 @@ class LakeTable:
         ``zorder_cols`` switches the rewrite from linear key clustering to
         Z-ORDER layout (``lake/zorder.py``): each bucket is split into
         ~``zorder_files_per_bucket`` files, each covering a contiguous
-        Morton-curve range of the (numeric) z-columns, so the per-file
+        Morton-curve range of the z-columns (numeric directly; strings
+        rank through an order-preserving 8-byte-prefix key), so the per-file
         min/max stats in the manifest become tight on EVERY z-column and
         :meth:`scan` skips files for predicates on any of them — the
         multi-column data-skipping layout (Delta OSS ZORDER BY). One extra
