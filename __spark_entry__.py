@@ -3496,8 +3496,22 @@ def q_winnow_incremental_matches(spark, sf_dir):
                                        min_shared=2)
             .orderBy("id_new", "id_idx"))
 
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-length chunking (out-of-gate candidate): documents split
+    into 32-token windows with 8-token overlap — the preprocessing stage
+    between curation and tokenization. ONE per-row projection + a single
+    posexplode, no shuffle (pinned by test_chunk_documents_is_shuffle_
+    free); short/empty docs yield exactly one (possibly empty) chunk."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        chunk_documents)
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_documents(docs, chunk_tokens=32, overlap=8)
+            .orderBy("doc_id", "chunk_id"))
+
 CANDIDATE_QUERIES = {
     "funnel_steps": q_funnel_steps,
+    "chunk_documents": q_chunk_documents,
     "winnow_incremental_matches": q_winnow_incremental_matches,
     "scd2_temporal_join": q_scd2_temporal_join,
     "semdedup_prune": q_semdedup_prune,
@@ -3506,6 +3520,25 @@ CANDIDATE_QUERIES = {
 }
 
 CANDIDATE_ORACLE_SQL = {
+    "chunk_documents": """
+        WITH toks AS (SELECT doc_id,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+              FROM documents),
+        p AS (SELECT doc_id, tk, len(tk) AS n,
+                CASE WHEN len(tk) <= 32 THEN 1
+                     ELSE 1 + (len(tk) - 32 + 23) // 24 END AS nc
+              FROM toks),
+        c AS (SELECT doc_id, tk, n,
+                     CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+              FROM p)
+        SELECT doc_id, chunk_id,
+               array_to_string(list_slice(tk, chunk_id*24 + 1,
+                                          chunk_id*24 + 32), ' ')
+                 AS chunk_text,
+               CAST(greatest(least(n - chunk_id*24, 32), 0) AS BIGINT)
+                 AS n_chunk_tokens
+        FROM c ORDER BY doc_id, chunk_id""",
     "winnow_incremental_matches": _winnow_ctes(16, 4) + """,
             d AS (SELECT DISTINCT doc_id, h FROM sel),
             ok AS (SELECT h FROM d GROUP BY h

@@ -689,3 +689,46 @@ def intra_doc_line_dedup(df: DataFrame, *, id_col: str = "doc_id",
         F.concat_ws(sep, F.transform("_keep",
                                      lambda i: F.element_at("_arr", i)))
          .alias("text"))
+
+
+# --------------------------------------------------- document chunking
+
+def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-length preprocessing stage before tokenization (long docs
+    become N training rows; the overlap keeps boundary-spanning context).
+
+    One row per chunk: ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+    Chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk may be short; a
+    document with <= chunk_tokens tokens yields exactly one chunk (its
+    whole self); an empty/whitespace document yields one empty chunk.
+
+    Scale shape: ONE per-row projection building the chunk array with
+    higher-order functions, then a single ``posexplode`` — no shuffle, no
+    join; output row count ~ n_tokens / stride."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    tk = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+               F.lit(0)).otherwise(F.size(tk))
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + ((n - chunk_tokens + stride - 1)
+                    / stride).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(tk, i * stride + 1, chunk_tokens))
+             .alias("t"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("nt")))
+    return (df.select(F.col(id_col), chunks.alias("_c"))
+            .select(F.col(id_col),
+                    F.posexplode("_c").alias("chunk_id", "_s"))
+            .select(F.col(id_col), "chunk_id",
+                    F.col("_s.t").alias("chunk_text"),
+                    F.greatest(F.col("_s.nt"), F.lit(0)).cast("long")
+                     .alias("n_chunk_tokens")))

@@ -604,3 +604,66 @@ def test_intra_doc_line_dedup_is_shuffle_free(spark):
     plan = qe.optimizedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in qe.executedPlan().toString()
+
+
+# --------------------------------------------------- document chunking
+
+def _brute_chunks(text, c, o):
+    import re
+    toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
+    n, stride = len(toks), c - o
+    nc = 1 if n <= c else 1 + -(-(n - c) // stride)
+    return [(i, " ".join(toks[i*stride:i*stride+c]),
+             len(toks[i*stride:i*stride+c])) for i in range(nc)]
+
+
+def test_chunk_documents_matches_bruteforce(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        chunk_documents)
+    docs = [("a", " ".join(f"t{j}" for j in range(100))),
+            ("b", "one two three"), ("c", ""), ("d", "   "),
+            ("e", " ".join(f"x{j}" for j in range(33))),
+            ("f", " ".join(f"y{j}" for j in range(64))),
+            ("g", None)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for c, o in ((32, 8), (16, 0), (10, 9)):
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=c, overlap=o).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_text, r.n_chunk_tokens))
+        for did, text in docs:
+            assert sorted(got[did]) == _brute_chunks(text, c, o), (did, c, o)
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    """Adjacent chunks share exactly `overlap` boundary tokens, and
+    stripping the overlap from every chunk after the first reconstructs
+    the document."""
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        chunk_documents)
+    text = " ".join(f"w{j}" for j in range(75))
+    df = spark.createDataFrame([("a", text)], "doc_id string, text string")
+    rows = sorted(chunk_documents(df, chunk_tokens=20, overlap=5).collect(),
+                  key=lambda r: r.chunk_id)
+    toks = [r.chunk_text.split(" ") for r in rows]
+    for a, b in zip(toks, toks[1:]):
+        assert a[-5:] == b[:5]
+    rebuilt = toks[0] + [t for ch in toks[1:] for t in ch[5:]]
+    assert " ".join(rebuilt) == text
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest as _pytest
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        chunk_documents)
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from kafka_connect_dynamodb_spark.operators.curation import (
+        chunk_documents)
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    qe = chunk_documents(df)._jdf.queryExecution()
+    assert "Exchange" not in qe.executedPlan().toString()
