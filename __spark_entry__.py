@@ -1842,12 +1842,22 @@ def _reflow_lines(n: int = 6):
     token stream re-joined in groups of ``n`` with newline separators —
     derived only from table columns (the pii_redaction / gopher_repetition
     injection precedent), giving line_dedup real cross-document duplicate
-    lines to remove (shared boilerplate-like token runs)."""
+    lines to remove (shared boilerplate-like token runs).
+
+    r8: the token array is bound ONCE as the lambda variable of a
+    one-element ``transform`` — the r7 expression captured the ``split``
+    inside the per-group lambda, so every line group re-tokenized the
+    whole document (no CSE inside HOF lambdas; same class as the r6
+    minhash and r8 winnow fixes)."""
     tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    ng = F.ceil(F.size(tk) / F.lit(float(n))).cast("int")
-    return F.concat_ws("\n", F.transform(
-        F.sequence(F.lit(0), ng - 1),
-        lambda g: F.concat_ws(" ", F.slice(tk, g * n + 1, n))))
+
+    def reflow(t):
+        ng = F.ceil(F.size(t) / F.lit(float(n))).cast("int")
+        return F.concat_ws("\n", F.transform(
+            F.sequence(F.lit(0), ng - 1),
+            lambda g: F.concat_ws(" ", F.slice(t, g * n + 1, n))))
+
+    return F.element_at(F.transform(F.array(tk), reflow), 1)
 
 
 def q_line_dedup_docs(spark, sf_dir):
@@ -1875,7 +1885,12 @@ def q_intradoc_line_dedup(spark, sf_dir):
     double division per doc."""
     from kafka_connect_dynamodb_spark.operators.curation import (
         intra_doc_line_dedup)
-    docs = _t(spark, sf_dir, "documents")
+    from kafka_connect_dynamodb_spark.operators.dedup import fan_out
+    # fan_out here, NOT in the operator: the operator stays a pure
+    # per-row projection (plan-pinned shuffle-free); a small single-file
+    # scan otherwise serializes the whole O(lines^2) projection on one
+    # core (r8 — final orderBy makes the result partitioning-invariant)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return (intra_doc_line_dedup(
                 docs.select("doc_id", _reflow_lines(2).alias("text")))
             .orderBy("doc_id"))

@@ -708,7 +708,11 @@ def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
 
     Scale shape: ONE per-row projection building the chunk array with
     higher-order functions, then a single ``posexplode`` — no shuffle, no
-    join; output row count ~ n_tokens / stride."""
+    join; output row count ~ n_tokens / stride. The token array and
+    count are bound ONCE via a one-element ``transform`` (r8): the r7
+    expression captured the ``split`` inside the per-chunk lambda, so
+    every chunk re-tokenized the whole document (no CSE inside HOF
+    lambdas — the r6-minhash/r8-winnow blowup class)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
                          f"{overlap} / {chunk_tokens}")
@@ -716,15 +720,22 @@ def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
     tk = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
                F.lit(0)).otherwise(F.size(tk))
-    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.lit(1) + ((n - chunk_tokens + stride - 1)
-                    / stride).cast("int"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.concat_ws(" ", F.slice(tk, i * stride + 1, chunk_tokens))
-             .alias("t"),
-            F.least(n - i * stride, F.lit(chunk_tokens)).alias("nt")))
+
+    def chunks_of(s):
+        nn, t = s["n"], s["tk"]
+        n_chunks = F.when(nn <= chunk_tokens, F.lit(1)).otherwise(
+            F.lit(1) + ((nn - chunk_tokens + stride - 1)
+                        / stride).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens))
+                 .alias("t"),
+                F.least(nn - i * stride, F.lit(chunk_tokens)).alias("nt")))
+
+    chunks = F.element_at(
+        F.transform(F.array(F.struct(tk.alias("tk"), n.alias("n"))),
+                    chunks_of), 1)
     return (df.select(F.col(id_col), chunks.alias("_c"))
             .select(F.col(id_col),
                     F.posexplode("_c").alias("chunk_id", "_s"))

@@ -129,8 +129,23 @@ def banded_buckets(docs: DataFrame, *, id_col: str = "doc_id",
             F.element_at("sig", b * rows_per_band + r + 1)
             for r in range(rows_per_band)]), 256)
     else:
-        sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
-                          minhash_signature(base, num_hashes).alias("sig"))
+        if aggregated_sig:
+            # same explode+partial-agg rewrite as the portable branch
+            # (r8 — previously the flag was honored only for portable
+            # mode, leaving the xxhash64 batch paths on the interpreted
+            # fold): identical signatures, codegen'd hash projection +
+            # map-side-combined mins instead of a per-shingle HOF fold.
+            from kafka_connect_dynamodb_spark.operators.dedup import fan_out
+            ex = fan_out(docs).select(
+                F.col(id_col).cast("string").alias("doc_id"),
+                F.explode(base).alias("s"))
+            sig = (ex.groupBy("doc_id")
+                   .agg(F.array(*[F.min(F.xxhash64(F.lit(seed), F.col("s")))
+                                  for seed in range(num_hashes)])
+                         .alias("sig")))
+        else:
+            sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                              minhash_signature(base, num_hashes).alias("sig"))
         band_hash = lambda b: F.xxhash64(*[
             F.element_at("sig", b * rows_per_band + r + 1)
             for r in range(rows_per_band)]).cast("string")
