@@ -29,6 +29,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fo(df: DataFrame) -> DataFrame:
+    """fan_out for entry queries whose heavy per-row stage would otherwise
+    run inside a ONE-split parquet scan (the driver tables are single-file,
+    single-row-group at every SF — r8): a tiny repartition of the compact
+    doc rows unlocks N-way parallelism; at real scale inputs arrive in many
+    splits and this is a no-op. Only used on queries whose output is
+    partitioning-invariant (final orderBy / aggregation)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import fan_out
+    return fan_out(df)
+
+
 # Map the events table onto CDC op codes (reference: Envelope.java:12-28,
 # DynamoDBSourceTask.java:383-394): signup=INSERT->c, error=REMOVE->d,
 # click/view/purchase=MODIFY->u.
@@ -570,7 +581,7 @@ def q_token_count_docs(spark, sf_dir):
 def q_doc_quality_score(spark, sf_dir):
     """Quality scoring: token/char counts + stopword ratio (integer-ratio
     formula, identical on both engines)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and")])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -777,7 +788,7 @@ def q_bpe_token_count(spark, sf_dir):
 def q_doc_quality_full(spark, sf_dir):
     """Full quality-scoring feature set + composite score (Gopher/C4 family)."""
     from kafka_connect_dynamodb_spark.operators.text import quality_features
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     return quality_features(docs).select(
         "doc_id", "n_tokens", "n_chars", "mean_token_len", "stopword_ratio",
         "punct_ratio", "unique_token_ratio", "quality_score").orderBy("doc_id")
@@ -831,7 +842,7 @@ def q_corpus_clean(spark, sf_dir):
     from kafka_connect_dynamodb_spark.operators.dedup import exact_duplicates
     from kafka_connect_dynamodb_spark.operators.text import (
         lang_id, quality_features)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
     q = quality_features(docs).select("doc_id", "quality_score")
     lg = lang_id(docs).select("doc_id", "lang", "lang_pred")
@@ -893,7 +904,7 @@ def q_pii_redaction(spark, sf_dir):
     the redacted text as the audit invariant. Pure JVM regexp built-ins —
     embarrassingly parallel, no shuffle at all."""
     from kafka_connect_dynamodb_spark.operators.curation import pii_redact
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     dirty = docs.select("doc_id", _pii_dirty_text().alias("text"))
     return (pii_redact(dirty)
             .select("doc_id", "n_emails", "n_ips", "n_phones",
@@ -2008,7 +2019,7 @@ def q_url_canonical_dedup(spark, sf_dir):
     of the same logical URL collapse into one group (5 raw variants per
     canonical at sf0.01). Pure expressions; one hash aggregate."""
     from kafka_connect_dynamodb_spark.functions.urls import canonical_url
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     raw = docs.select("doc_id", _messy_url().alias("url"))
     return (raw.select("doc_id", "url",
                        canonical_url(F.col("url")).alias("canon"))
@@ -2030,7 +2041,7 @@ def q_cluster_safe_split(spark, sf_dir):
         minhash_lsh_candidates_sha)
     from kafka_connect_dynamodb_spark.operators.sampling import (
         cluster_safe_split)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fo(_t(spark, sf_dir, "documents"))
     pairs = minhash_lsh_candidates_sha(docs)
     return cluster_safe_split(docs, pairs).orderBy("doc_id")
 

@@ -135,10 +135,16 @@ def main() -> None:
 
     deadline = time.time() + hours * 3600
     # continue numbering past logs from earlier watcher runs in this cwd so
-    # a restart never overwrites recorded campaign evidence
-    n = 0
-    while os.path.exists(f"campaign_auto_{n + 1}.log"):
-        n += 1
+    # a restart never overwrites recorded campaign evidence — max over the
+    # glob, not first-gap, so a deleted mid-range log cannot make the
+    # numbering resume inside the gap and clobber later logs (r7 ADVICE)
+    import glob as _glob
+    import re as _re
+    n = max((int(m.group(1))
+             for p in _glob.glob("campaign_auto_*.log")
+             if (m := _re.fullmatch(r"campaign_auto_(\d+)\.log",
+                                    os.path.basename(p)))),
+            default=0)
     probe_failures = 0
     # session floors across ALL campaign trials; seedable from env so floors
     # accumulated by an earlier same-round watcher run keep constraining the

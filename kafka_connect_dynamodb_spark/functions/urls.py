@@ -44,7 +44,14 @@ def canonical_url(url: Column,
     tail = F.substring(after, F.length(hostport) + 1, F.lit(1 << 30))
 
     lscheme = F.lower(scheme)
-    lhost = F.lower(hostport)
+    # RFC 3986: host is case-insensitive but userinfo is NOT — lowercase
+    # only the part after the last '@' (r8, VERDICT r7 finding #4; greedy
+    # ``.*`` captures through the last '@', '' when there is none)
+    userinfo = F.regexp_extract(hostport, r"^(.*@)", 1)
+    lhost = F.concat(
+        userinfo,
+        F.lower(F.substring(hostport, F.length(userinfo) + 1,
+                            F.lit(1 << 30))))
     lhost = (F.when(lscheme == "http",
                     F.regexp_replace(lhost, r":80$", ""))
               .when(lscheme == "https",

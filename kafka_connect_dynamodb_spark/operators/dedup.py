@@ -76,12 +76,22 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (space-joined) as an array column."""
+    """Distinct word k-grams (space-joined) as an array column.
+
+    The token array is bound ONCE as the lambda variable of a one-element
+    ``transform`` (r8): capturing the ``split`` inside the per-gram lambda
+    re-tokenized the whole document once per gram — O(tokens²) work per
+    row (no CSE inside HOF lambdas, the r6-minhash/r8-winnow blowup
+    class)."""
     toks = F.split(F.trim(text), r"\s+")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+    def grams_of(t: Column) -> Column:
+        n = F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(0), n - 1),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k))))
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 # ------------------------------------------------------------------- minhash
@@ -388,11 +398,15 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     truncates the iterative lineage so round N's plan does not replay
     rounds 1..N-1.
 
-    ONE job per round (r4 VERDICT "wrong" #4 closed): a label changes iff
-    the neighbor minimum beats the old label, so the changed-count is
-    observed (``df.observe``) inside the same select the checkpoint
-    materializes — the old separate convergence probe (a second join +
-    ``limit(1).count()`` job per round) is gone."""
+    ONE job AND one join per round (r8; r4 closed the separate
+    convergence-probe job, r8 removes the second join): the update rule
+    label[v] = min({label[v]} ∪ {label[u] : u ~ v}) is computed by
+    UNIONING the old labels (tagged ``_self``) into the neighbor-label
+    stream and taking one min-aggregate — no left join back onto the old
+    labels. The same aggregate recovers the node's OLD label (min over
+    the single self-tagged row), so the changed-count is observed on the
+    aggregate output exactly as before. Same fixpoint, one fewer
+    exchange per round."""
     from pyspark.sql import Observation
 
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -405,22 +419,21 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
               .localCheckpoint())
     try:
         for _ in range(max_iter):
-            neighbor_min = (edges.join(labels,
-                                       edges.dst == labels.id)
-                            .groupBy("src")
-                            .agg(F.min("label").alias("nmin")))
+            neighbor = (edges.join(labels, edges.dst == labels.id)
+                        .select(F.col("src").alias("id"), F.col("label"),
+                                F.lit(False).alias("_self")))
             obs = Observation()
-            new_labels = (labels.join(neighbor_min,
-                                      labels.id == neighbor_min.src, "left")
-                          .select(F.col("id"),
-                                  F.least(F.col("label"),
-                                          F.coalesce(F.col("nmin"),
-                                                     F.col("label")))
-                                  .alias("label"),
-                                  (F.coalesce(F.col("nmin"), F.col("label"))
-                                   < F.col("label")).cast("long").alias("_chg"))
+            new_labels = (neighbor.union(
+                              labels.select("id", "label",
+                                            F.lit(True).alias("_self")))
+                          .groupBy("id")
+                          .agg(F.min("label").alias("label"),
+                               F.min(F.when(F.col("_self"),
+                                            F.col("label"))).alias("_old"))
+                          .withColumn("_chg", (F.col("label") < F.col("_old"))
+                                      .cast("long"))
                           .observe(obs, F.sum("_chg").alias("changed"))
-                          .drop("_chg")
+                          .drop("_old", "_chg")
                           .localCheckpoint())
             changed = obs.get["changed"] or 0
             labels = new_labels

@@ -43,20 +43,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     quality score in [0,1] (heuristics in the Gopher/C4 filtering family)."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_tok = F.size(toks)
     n_chars = F.length(t)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    n_uniq = F.size(F.array_distinct(toks))
+
+    # token array bound ONCE via a one-element transform (r8): the three
+    # token statistics previously each re-ran the split inside one
+    # collapsed projection
+    def token_stats(tk: Column) -> Column:
+        return F.struct(
+            F.size(tk).alias("n_tok"),
+            F.size(F.filter(tk, lambda x: F.array_contains(
+                stop, F.lower(x)))).alias("n_stop"),
+            F.size(F.array_distinct(tk)).alias("n_uniq"))
+
+    ts = F.element_at(F.transform(F.array(toks), token_stats), 1)
+    n_tok = F.col("_ts").getField("n_tok")
     mean_tok_len = (n_chars - n_tok + 1).cast("double") / n_tok
 
-    out = (df.withColumn("n_tokens", n_tok)
+    out = (df.withColumn("_ts", ts)
+             .withColumn("n_tokens", n_tok)
              .withColumn("n_chars", n_chars)
              .withColumn("mean_token_len", mean_tok_len)
-             .withColumn("stopword_ratio", n_stop.cast("double") / n_tok)
+             .withColumn("stopword_ratio",
+                         F.col("_ts").getField("n_stop").cast("double") / n_tok)
              .withColumn("punct_ratio", n_punct.cast("double") / n_chars)
-             .withColumn("unique_token_ratio", n_uniq.cast("double") / n_tok))
+             .withColumn("unique_token_ratio",
+                         F.col("_ts").getField("n_uniq").cast("double") / n_tok)
+             .drop("_ts"))
     score = (
         F.when(F.col("n_tokens") < 5, 0.0).otherwise(1.0) *
         F.least(F.col("unique_token_ratio") * 2, F.lit(1.0)) *
@@ -95,10 +109,16 @@ def fingerprint_sha(df: DataFrame, text_col: str = "text",
     via sha256 hex (lexicographic min-k == numeric min-k on fixed-width hex),
     so the SQL oracle reproduces the fingerprint exactly."""
     toks = tokens(F.col(text_col))
-    n = F.greatest(F.size(toks) - F.lit(gram - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.sha2(F.concat_ws(" ", F.slice(toks, i + 1, gram)), 256))
+
+    def grams_of(t: Column) -> Column:
+        # tokens bound once via a one-element transform — capturing the
+        # split inside the per-gram lambda re-tokenizes per gram (r8)
+        n = F.greatest(F.size(t) - F.lit(gram - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.sha2(F.concat_ws(" ", F.slice(t, i + 1, gram)), 256))
+
+    grams = F.element_at(F.transform(F.array(toks), grams_of), 1)
     smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
     return df.withColumn(out_col, F.sha2(F.concat_ws(",", smallest), 256))
 
@@ -109,9 +129,16 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     hashes, hex-encoded — robust to local edits, order-canonical."""
     t = F.col(text_col)
     toks = tokens(t)
-    n = F.greatest(F.size(toks) - F.lit(4), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(0), n - 1),
-                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 5))))
+
+    def grams_of(tk: Column) -> Column:
+        # tokens bound once (r8) — same per-gram re-tokenization fix as
+        # fingerprint_sha
+        n = F.greatest(F.size(tk) - F.lit(4), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, 5))))
+
+    grams = F.element_at(F.transform(F.array(toks), grams_of), 1)
     smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
     return df.withColumn(out_col, F.sha2(F.concat_ws(",", F.transform(
         smallest, lambda x: x.cast("string"))), 256))
@@ -137,10 +164,13 @@ def term_frequencies(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, token, tf) — lowercase whitespace tokens with per-doc counts.
     One explode + one map-side-combined groupBy; the shared first stage of
-    TF-IDF and BM25."""
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-              .groupBy("id", "token").agg(F.count("*").alias("tf")))
+    TF-IDF and BM25. ``fan_out`` first (r8): a single-file scan otherwise
+    serializes the tokenize+explode+partial-agg stage on one core."""
+    from .dedup import fan_out
+    return (fan_out(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+            .groupBy("id", "token").agg(F.count("*").alias("tf")))
 
 
 def tf_idf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
@@ -247,14 +277,22 @@ def unigram_lm_nll(df: DataFrame, ref: DataFrame, *,
 def _doc_bigrams(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2, tf) — per-document bigram frequencies over lowercase
     whitespace tokens. One explode of the zipped shifted slices + one
-    map-side-combined groupBy; docs under 2 tokens contribute no rows."""
+    map-side-combined groupBy; docs under 2 tokens contribute no rows.
+    The token array is bound once (r8 — the slice/size trio previously
+    re-ran the split three times per row) and the scan fans out."""
+    from .dedup import fan_out
     t = tokens(F.lower(F.col(text_col)))
-    n = F.size(t)
-    pairs = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-    return (df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
-              .select("id", "p.w1", "p.w2")
-              .groupBy("id", "w1", "w2").agg(F.count("*").alias("tf")))
+
+    def pairs_of(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.zip_with(F.slice(tk, 1, n - 1), F.slice(tk, 2, n - 1),
+                          lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+    pairs = F.element_at(F.transform(F.array(t), pairs_of), 1)
+    return (fan_out(df)
+            .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+            .select("id", "p.w1", "p.w2")
+            .groupBy("id", "w1", "w2").agg(F.count("*").alias("tf")))
 
 
 def bigram_lm_nll(df: DataFrame, ref: DataFrame, *,

@@ -45,10 +45,22 @@ class TxIngest:
     """foreachBatch driver for continuous transaction-consistent apply."""
 
     def __init__(self, spark: SparkSession, coord: TxCoordinator,
-                 pending_root: str):
+                 pending_root: str, *, prune_every: int = 8,
+                 max_pending_dirs: int = 64):
         self.spark = spark
         self.coord = coord
         self.root = pending_root.rstrip("/")
+        # auto-prune cadence (r8, VERDICT r7 finding #3): without it the
+        # pending set grows with stream history and every micro-batch
+        # re-shuffles everything ever ingested. Prune after every
+        # ``prune_every`` batches, or sooner if the pending partition
+        # count passes ``max_pending_dirs`` (redeliveries land in
+        # existing dirs, so the count tracks distinct batches, not
+        # retries). ``prune_every=0`` disables auto-pruning (manual
+        # :meth:`prune` calls still work).
+        self.prune_every = prune_every
+        self.max_pending_dirs = max_pending_dirs
+        self._batches_since_prune = 0
 
     # ----------------------------------------------------------- pending
     def _dirs(self, kind: str) -> list[str]:
@@ -86,6 +98,12 @@ class TxIngest:
             f"{self.root}/bounds/b{batch_id}")
         self.coord.apply(self.pending_events(spark),
                          self.pending_bounds(spark))
+        self._batches_since_prune += 1
+        if self.prune_every and (
+                self._batches_since_prune >= self.prune_every
+                or len(self._dirs("events")) > self.max_pending_dirs):
+            self.prune(spark)
+            self._batches_since_prune = 0
 
     # ------------------------------------------------------------- prune
     def prune(self, spark: SparkSession) -> int:

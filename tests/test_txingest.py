@@ -134,3 +134,43 @@ def test_prune_crash_between_write_and_delete_double_counts_nothing(
     assert coord.snapshot()["watermark"] == 4
     assert _state(spark, coord, "a") == {1: "a1x", 2: "a2"}
     assert _state(spark, coord, "b") == {2: "b2"}
+
+
+def test_auto_prune_soak_bounds_pending_and_matches_batch(spark, tmp_path):
+    """r8 soak: >= 20 micro-batches with an in-flight transaction spanning
+    most of the stream. The default auto-prune cadence must keep the
+    pending partition count bounded (never growing with stream history)
+    while the drained state stays identical to a one-shot batch apply."""
+    n_tx = 24
+    rows = []
+    for t in range(1, n_tx + 1):
+        tbl = "a" if t % 2 else "b"
+        rows.append((t, tbl, t % 5, f"v{t}", "c", 2 * t, None))
+        rows.append((t, tbl, (t + 1) % 5, f"w{t}", "u", 2 * t + 1, None))
+        rows.append((t, None, None, None, None, None, 2))
+    # hold tx2's boundary until the very last batch: everything after tx1
+    # stays in flight for most of the stream (the prune must keep it)
+    held = next(r for r in rows if r[0] == 2 and r[1] is None)
+    rows.remove(held)
+
+    ref, _ = _mk(spark, tmp_path, "soakref")
+    ref.apply(*_split(spark, rows + [held]))
+
+    coord, ing = _mk(spark, tmp_path, "soak")
+    assert ing.prune_every == 8                     # the default cadence
+    per = 3
+    batches = [rows[i:i + per] for i in range(0, len(rows), per)]
+    max_dirs = 0
+    for bid, chunk in enumerate(batches):
+        ing.apply_batch(_df(spark, chunk), bid)
+        max_dirs = max(max_dirs, len(ing._dirs("events")))
+    assert len(batches) >= 20
+    # bounded: never more than a prune window of batch dirs + 1 compact dir
+    assert max_dirs <= ing.prune_every + 1
+    ing.apply_batch(_df(spark, [held]), len(batches))
+    assert coord.snapshot()["watermark"] == ref.snapshot()["watermark"]
+    for n in ("a", "b"):
+        assert _state(spark, coord, n) == _state(spark, ref, n)
+    # pending after the final prune window is bounded by in-flight tail
+    ing.prune(spark)
+    assert len(ing._dirs("events")) <= 2

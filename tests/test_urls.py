@@ -52,3 +52,26 @@ def test_canonical_url_collapses_variants(spark):
     got = {r.c for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()}
     assert got == {"http://site.com/x?a=1&b=2"}
+
+
+def test_canonical_url_preserves_userinfo_case(spark):
+    """RFC 3986: userinfo is case-sensitive; only scheme+host lowercase.
+    Two URLs differing only in credential case must NOT collapse (r8,
+    VERDICT r7 finding #4)."""
+    cases = [
+        ("http://User:PW@Site.COM/x?a=1", "http://User:PW@site.com/x?a=1"),
+        ("HTTP://uSeR@HOST.com:80/p", "http://uSeR@host.com/p"),
+        # '@' inside userinfo password: lowercase only after the LAST '@'
+        ("http://u:p@ss@Host.com/p", "http://u:p@ss@host.com/p"),
+        ("http://Site.com/x", "http://site.com/x"),   # no userinfo: as before
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, exp) in enumerate(cases):
+        assert got[i] == exp, (u, got[i], exp)
+    a = canonical_url(F.lit("http://AbC@x.com/p"))
+    b = canonical_url(F.lit("http://abc@x.com/p"))
+    r = spark.range(1).select(a.alias("a"), b.alias("b")).collect()[0]
+    assert r.a != r.b
