@@ -1985,7 +1985,12 @@ def q_corpus_curate_e2e(spark, sf_dir):
                  .filter((F.col("quality_score") >= 0.2)
                          & (F.col("lang_pred") == F.col("lang")))
                  .select("doc_id"))
-    cleaned = docs.join(clean_ids, "doc_id")
+    # lazy localCheckpoint: `cleaned` feeds BOTH the near-dup pair
+    # pipeline and the final split join — without it the whole
+    # clean-stage lineage (exact-dup + quality + lang joins) re-executes
+    # per consumer (r8: 4.8s -> 2.8s at sf0.1); materialized on first
+    # use inside this query, never reused across invocations
+    cleaned = docs.join(clean_ids, "doc_id").localCheckpoint(eager=False)
     pairs = minhash_lsh_candidates_sha(cleaned)
     out = cluster_safe_split(cleaned, pairs)
     return (out.select("doc_id", "cluster_id", "split",

@@ -19,6 +19,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dfmt(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal form, the 'D' suffix makes the parser read it as DOUBLE
+    (never DECIMAL), so the parsed value is bit-identical to F.lit."""
+    s = repr(float(x))
+    if "e" in s or "E" in s or "inf" in s or "nan" in s:
+        return f"CAST('{s}' AS DOUBLE)"
+    return s + "D"
+
+
+def _lit_doubles(vals) -> Column:
+    """array<double> literal built in ONE ``F.expr`` parse (r8): a
+    per-element ``F.lit`` build pays one py4j round-trip per value
+    (~0.5 ms each — measured ~1.9 s of pure DRIVER time per
+    ``ivf_pq_encode`` call at dim=64/m=8, dominating the row's wall
+    clock). Values are bit-identical to the F.lit form."""
+    return F.expr("array(" + ",".join(_dfmt(v) for v in vals) + ")")
+
+
+def _lit_matrix(rows) -> Column:
+    """array<array<double>> literal in one parse — see :func:`_lit_doubles`."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(_dfmt(v) for v in r) + ")" for r in rows) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — deterministic FP order."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -38,7 +63,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k for one query vector. Plan: scan -> project cosine
     -> TakeOrderedAndProject (partial per-partition top-k, no full sort)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_doubles(query_vec)
     scored = df.select(F.col(id_col),
                        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -53,7 +78,7 @@ def hyperplane_signature(vec: Column, dim: int, planes: int = 8,
     for p in range(planes):
         comps = [_unit_component(seed, p, d) for d in range(dim)]
         proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(c) for c in comps]), lambda x, y: x * y),
+            F.zip_with(vec, _lit_doubles(comps), lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return bucket.cast("int")
@@ -86,7 +111,7 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10, *,
     if multiprobe >= 1:
         probe |= {qsig ^ (1 << p) for p in range(planes)}
     cand = df.withColumn("_sig", sig).filter(F.col("_sig").isin(*probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_doubles(query_vec)
     scored = cand.select(F.col(id_col),
                          cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -271,9 +296,8 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     oracles."""
     k = len(centroids)
     dim = len(centroids[0])
-    t2d = F.array(*[
-        F.array(*[F.lit(float(centroids[c][i])) for c in range(k)])
-        for i in range(dim)])
+    t2d = _lit_matrix([[centroids[c][i] for c in range(k)]
+                       for i in range(dim)])
     sq = F.zip_with(vec, t2d,
                     lambda x, crow: F.transform(crow,
                                                 lambda c: (x - c) * (x - c)))
@@ -308,7 +332,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     cand = df.withColumn("_cell", ivf_assign(
         F.col(vec_col).cast("array<double>"), cents)) \
         .filter(F.col("_cell").isin(*probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_doubles(query_vec)
     scored = cand.select(F.col(id_col),
                          cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -342,7 +366,7 @@ def ivf_probe_index(spark, path: str, query_vec: list[float], k: int = 10, *,
                 for i, c in enumerate(centroids))
     probe = [cell for _, cell in qd[:nprobe]]
     cand = spark.read.parquet(path).filter(F.col("_cell").isin(*probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_doubles(query_vec)
     scored = cand.select(
         F.col(id_col),
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
@@ -460,7 +484,7 @@ def pq_topk(codes: DataFrame, codebooks: list[list[list[float]]],
         dist_tables.append([_py_l2(qj, c) for c in codebooks[j]])
     total = F.lit(0.0)
     for j in range(m):
-        tbl = F.array(*[F.lit(float(d)) for d in dist_tables[j]])
+        tbl = _lit_doubles(dist_tables[j])
         total = total + F.element_at(tbl, F.element_at("pq_code", j + 1))
     scored = codes.select(F.col(id_col), total.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
@@ -558,8 +582,7 @@ def ivf_pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     cell = ivf_assign(v, centroids)
     base = df.select(F.col(id_col), cell.alias("cell"), v.alias("_v"))
     if by_residual:
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                          for c in centroids])
+        cents = _lit_matrix(centroids)
         enc_v = F.zip_with(F.col("_v"),
                            F.element_at(cents, F.col("cell")),
                            lambda x, c: x - c)
@@ -577,8 +600,7 @@ def ivf_residuals(df: DataFrame, centroids: list[list[float]], *,
     :func:`pq_fit` residual codebooks on before encoding with
     ``by_residual=True`` (FAISS trains its PQ on exactly these)."""
     v = F.col(vec_col).cast("array<double>")
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in centroids])
+    cents = _lit_matrix(centroids)
     res = F.zip_with(v, F.element_at(cents, ivf_assign(v, centroids)),
                      lambda x, c: x - c)
     return df.select(F.col(id_col), res.alias(vec_col))
@@ -618,8 +640,7 @@ def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
             for p in probe:
                 rj = [q - c for q, c in
                       zip(qj, centroids[p - 1][j * sub:(j + 1) * sub])]
-                tbl = F.array(*[F.lit(float(_py_l2(rj, c)))
-                                for c in codebooks[j]])
+                tbl = _lit_doubles([_py_l2(rj, c) for c in codebooks[j]])
                 hit = F.element_at(tbl, F.element_at("pq_code", j + 1))
                 lookup = (hit if lookup is None
                           else F.when(F.col("cell") == p, hit)
@@ -629,8 +650,7 @@ def ivf_pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
             # order does not affect results
             total = total + lookup
         else:
-            tbl = F.array(*[F.lit(float(_py_l2(qj, c)))
-                            for c in codebooks[j]])
+            tbl = _lit_doubles([_py_l2(qj, c) for c in codebooks[j]])
             total = total + F.element_at(tbl, F.element_at("pq_code", j + 1))
     scored = cand.select(F.col(id_col), F.col("cell"),
                          total.alias("adc_dist"))
@@ -665,8 +685,7 @@ def semdedup(df: DataFrame, centroids: list[list[float]], *,
     already certifies that path).
     """
     k = len(centroids)
-    cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                         for c in centroids])
+    cent_mat = _lit_matrix(centroids)
     v = F.col(vec_col).cast("array<double>")
     base = (df.select(F.col(id_col).alias("id"), v.alias("v"))
               .withColumn("cell", ivf_assign(F.col("v"), centroids))

@@ -85,6 +85,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (guide-recommended baseline; sort-merge remains the fallback
+        # whenever the build side might not fit). Uniform 5-20% on the
+        # join-heavy bench rows at sf0.1 AND the same choice a cluster
+        # submit would make — not a local-mode-only trick. Override with
+        # SPARK_GRAFT_PREFER_SMJ=1 to restore sort-merge preference.
+        .config("spark.sql.join.preferSortMergeJoin",
+                "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+                else "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
