@@ -15,8 +15,8 @@ event to stay visible across batches. This driver gives it that:
   monotonicity, per-table ``batch_id = watermark`` merge guards and
   put-if-absent snapshot records make the re-apply exactly-once no
   matter where a crash lands;
-* reads de-duplicate pending rows on the unique event ``_seq`` (and
-  boundaries on ``tx_id``), so :meth:`prune` — which consolidates
+* reads de-duplicate pending rows on the composite ``(tx_id, _seq)``
+  (and boundaries on ``tx_id``), so :meth:`prune` — which consolidates
   pending down to the not-yet-applied suffix — can crash between its
   write and its deletes without ever double-counting an event into the
   completeness check;
@@ -75,7 +75,12 @@ class TxIngest:
         dirs = self._dirs("events")
         if not dirs:
             return None
-        return spark.read.parquet(*dirs).dropDuplicates(["_seq"])
+        # composite (tx_id, _seq): _seq is only promised per-key total
+        # order by the tx module, so a cross-source _seq collision must
+        # not silently drop an event and stall the tx watermark (r7
+        # ADVICE); redelivered copies share BOTH fields, so idempotent
+        # dedup is unchanged
+        return spark.read.parquet(*dirs).dropDuplicates(["tx_id", "_seq"])
 
     def pending_bounds(self, spark: SparkSession) -> DataFrame | None:
         dirs = self._dirs("bounds")
@@ -127,8 +132,8 @@ class TxIngest:
                              if d.rsplit("/", 1)[1].startswith("c")),
                             default=0)
             keep = (spark.read.parquet(*old)
-                    .dropDuplicates(["_seq" if kind == "events"
-                                     else "tx_id"])
+                    .dropDuplicates(["tx_id", "_seq"] if kind == "events"
+                                    else ["tx_id"])
                     .filter(F.col("tx_id") > F.lit(w)))
             keep.write.mode("overwrite").parquet(
                 f"{self.root}/{kind}/c{epoch}")
