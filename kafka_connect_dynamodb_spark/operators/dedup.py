@@ -856,13 +856,26 @@ def incremental_winnow_matches(new_docs: DataFrame, index: DataFrame, *,
     frequency cap still sees the COMBINED per-hash doc count so
     boilerplate hashes stay dropped as the corpus grows. Merge the
     increment into the index with a plain union-distinct (or an append
-    of the increment's :func:`winnow_index` rows)."""
+    of the increment's :func:`winnow_index` rows).
+
+    Contract notes (r8, ADVICE): a document present in BOTH the index
+    and the increment is counted once — its index rows are dropped
+    (broadcast anti-join on the increment's ids, "the re-probe wins") so
+    re-probing cannot double-count a doc toward ``max_bucket`` or pair a
+    doc with itself. New-vs-new pairs are emitted in BOTH orientations
+    ((a, b) AND (b, a)) — ``id_new`` enumerates every increment doc's
+    matches, exactly the shape the candidate's DuckDB oracle certifies;
+    canonicalize with ``id_new < id_idx`` downstream if undirected pairs
+    are wanted."""
     inc = (winnow_index(new_docs, id_col=id_col, text_col=text_col,
                         k=k, window=window)
            .select("fp_hash", "id"))
     inc_hashes = F.broadcast(inc.select("fp_hash").distinct())
     idx_hits = (index.select("fp_hash", "id")
-                .join(inc_hashes, "fp_hash", "left_semi"))
+                .join(inc_hashes, "fp_hash", "left_semi")
+                .join(F.broadcast(inc.select("id").distinct()),
+                      "id", "left_anti")
+                .select("fp_hash", "id"))   # USING-join put "id" first
     combined = idx_hits.union(inc)
     cnt = (combined.groupBy("fp_hash").agg(F.count("*").alias("_n"))
            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))

@@ -1159,3 +1159,30 @@ def test_incremental_winnow_matches_equals_batch_over_union(spark):
         if r.id_a in inc_ids or r.id_b in inc_ids:
             want[tuple(sorted((r.id_a, r.id_b)))] = r.n_shared
     assert got == want and want, (len(got), len(want))
+
+
+def test_incremental_winnow_reprobe_counts_doc_once(spark):
+    """A doc present in BOTH the index and the increment (a re-probe) is
+    counted ONCE: same pairs as probing against an index that never held
+    it — no self-pairs, no double count toward the frequency cap
+    (r7 ADVICE: union without dedup silently double-counted re-probed
+    docs and could drop hashes past max_bucket)."""
+    from kafka_connect_dynamodb_spark.operators.dedup import (
+        incremental_winnow_matches, winnow_index)
+    shared = "a long shared boilerplate sentence that winnows well"
+    corpus = [("c0", shared + " unique tail zero"),
+              ("c1", shared + " unique tail one"),
+              ("n0", shared + " fresh increment text")]
+    inc = [("n0", shared + " fresh increment text")]
+    cdf = spark.createDataFrame(corpus, "doc_id string, text string")
+    idf = spark.createDataFrame(inc, "doc_id string, text string")
+
+    def pairs(index_df):
+        return {(r.id_new, r.id_idx): r.n_shared
+                for r in incremental_winnow_matches(
+                    idf, index_df, k=8, window=4, min_shared=2).collect()}
+    with_reprobe = pairs(winnow_index(cdf, k=8, window=4))
+    without = pairs(winnow_index(
+        cdf.filter(cdf.doc_id != "n0"), k=8, window=4))
+    assert with_reprobe == without and without, (with_reprobe, without)
+    assert not any(a == b for a, b in with_reprobe)
