@@ -415,28 +415,50 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     UNIONING the old labels (tagged ``_self``) into the neighbor-label
     stream and taking one min-aggregate — no left join back onto the old
     labels. The same aggregate recovers the node's OLD label (min over
-    the single self-tagged row), so the changed-count is observed on the
+    the self-tagged rows), so the changed-count is observed on the
     aggregate output exactly as before. Same fixpoint, one fewer
-    exchange per round."""
+    exchange per round.
+
+    Round 1 is further specialized (r8 continuation, profiled: the CC
+    build spent 3.2 s of EAGER driver-side iteration at sf0.1): the
+    initial labels are the identity, so the first round's neighbor-min is
+    just min(id, min neighbor id) — computed straight from the edge list
+    with NO join and no separate identity-label checkpoint job (the old
+    shape paid one standalone job to checkpoint the identity labels —
+    which also materialized the whole upstream pairs pipeline — plus a
+    join of every edge against them). Duplicate self-tagged rows from the
+    per-edge union do not move the min. Same fixpoint, two fewer jobs and
+    one fewer join on the measured 2-3-round graphs; A/B at sf0.1 is
+    time-NEUTRAL (1.483 vs 1.484 s warm build+force — the cost there is
+    the pairs materialization plus the per-round checkpoints), so the win
+    is the removed full-label-table pass and join, which grow with node
+    count."""
     from pyspark.sql import Observation
 
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
              .distinct().persist())
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint())
+    labels = None
     try:
-        for _ in range(max_iter):
-            neighbor = (edges.join(labels, edges.dst == labels.id)
-                        .select(F.col("src").alias("id"), F.col("label"),
-                                F.lit(False).alias("_self")))
+        for rnd in range(max_iter):
+            if rnd == 0:
+                # identity labels: neighbor label IS the neighbor id; one
+                # self row per edge (dupes don't change min/_old)
+                tagged = (edges.select(F.col("src").alias("id"),
+                                       F.col("dst").alias("label"),
+                                       F.lit(False).alias("_self"))
+                          .union(edges.select(F.col("src").alias("id"),
+                                              F.col("src").alias("label"),
+                                              F.lit(True).alias("_self"))))
+            else:
+                neighbor = (edges.join(labels, edges.dst == labels.id)
+                            .select(F.col("src").alias("id"), F.col("label"),
+                                    F.lit(False).alias("_self")))
+                tagged = neighbor.union(
+                    labels.select("id", "label", F.lit(True).alias("_self")))
             obs = Observation()
-            new_labels = (neighbor.union(
-                              labels.select("id", "label",
-                                            F.lit(True).alias("_self")))
+            new_labels = (tagged
                           .groupBy("id")
                           .agg(F.min("label").alias("label"),
                                F.min(F.when(F.col("_self"),
